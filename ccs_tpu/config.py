@@ -1,0 +1,81 @@
+"""CCS configuration: the reference CLI flag surface plus TPU-only knobs.
+
+Flag names/defaults mirror the reference exactly (SURVEY.md §2.4; evidence:
+/root/reference/docs/index.md:52-64, how-does-ccs-work.md, sqiie.md:33-47).
+TPU-specific knobs are namespaced ``tpu_*`` so the reference surface stays
+unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class CcsConfig:
+    # --- filtering (how-does-ccs-work.md:19-32) ---
+    min_snr: float = 2.5           # --min-snr
+    min_passes: int = 3            # --min-passes
+    min_length: int = 10           # --min-length (draft length gate)
+    max_length: int = 50000        # --max-length (0 = unlimited)
+    min_rq: float = 0.99           # --min-rq
+    top_passes: int = 60           # --top-passes (0 = unlimited; accuracy-vs-passes.md:49-52)
+    max_insertion_size: int = 30   # --max-insertion-size (how-does-ccs-work.md:74-78)
+    min_tandem_repeat_length: int = 1000  # --min-tandem-repeat-length (low-complexity.md:12)
+    disable_heuristics: bool = False      # --disable-heuristics
+
+    # --- modes ---
+    mode_all: bool = False         # --all (implies min_passes=0, min_rq=0, max_length=0)
+    subread_fallback: bool = False  # --subread-fallback (with --all)
+    by_strand: bool = False        # --by-strand
+    hd_finder: bool = False        # --hd-finder
+    hifi_kinetics: bool = False    # --hifi-kinetics
+    all_kinetics: bool = False     # --all-kinetics
+
+    # --- orchestration ---
+    chunk: Optional[tuple[int, int]] = None  # --chunk i/N (1-based i)
+    num_threads: int = 0           # -j (0 = auto)
+    batch_size: int = 1024         # --batch-size (ZMWs per device batch)
+    input_buffer: int = 4          # --input-buffer (prefetch depth, batches)
+    streamed: bool = False         # --streamed (BAM on stdin)
+
+    # --- output ---
+    output: str = ""               # positional out (.bam/.fastq.gz/.consensusreadset.xml)
+    fastq: Optional[str] = None    # --fastq (additional FASTQ output)
+    bam: Optional[str] = None      # --bam (explicit BAM output name)
+    report_file: Optional[str] = None   # --report-file
+    report_json: Optional[str] = None   # --report-json
+    metrics_json: Optional[str] = None  # --metrics-json
+    hifi_summary_json: Optional[str] = None  # --hifi-summary-json
+    suppress_reports: bool = False      # --suppress-reports
+    subsample_clr_perc: float = 0.0     # --subsample-clr-perc
+    subsample_clr_file: Optional[str] = None  # --subsample-clr-file
+
+    # --- logging ---
+    log_level: str = "WARN"        # --log-level
+    log_file: Optional[str] = None  # --log-file
+    stderr_json_log: bool = False  # --stderr-json-log
+    refresh_rate: float = 5.0      # --refresh-rate (progress period, seconds)
+
+    # --- polishing internals (documented behavior, not reference flags) ---
+    window_size: int = 22          # target window size (how-does-ccs-work.md:57-59)
+    window_overlap: int = 2        # ±2 bp overlap
+    max_polish_iterations: int = 40  # NON_CONVERGENT cap
+    draft_min_fraction_mapped: float = 0.5  # >50% subreads must align back to draft
+                                            # (accuracy-vs-passes.md:31-39)
+    heteroduplex_min_len: int = 21  # strand diff > 20 bp fails the ZMW
+
+    # --- TPU-only knobs (namespaced; SURVEY.md §5 config row) ---
+    tpu_window_tpl_cap: int = 32       # padded template buffer per window
+    tpu_window_read_cap: int = 48      # padded read-slice length per window
+    tpu_window_coverage_cap: int = 32  # max subread slices polished per window
+    tpu_bucket_edges: tuple[int, ...] = (2048, 8192, 16384, 32768, 65536)
+    tpu_mesh_shape: Optional[tuple[int, ...]] = None  # None = all local devices
+    tpu_band_width: int = 128          # banded full-length alignment band
+
+    def resolve_mode_all(self) -> "CcsConfig":
+        """--all implies --min-passes 0 --min-rq 0 --max-length 0 (mode-all.md:15-17)."""
+        if not self.mode_all:
+            return self
+        return dataclasses.replace(self, min_passes=0, min_rq=0.0, max_length=0)

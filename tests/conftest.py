@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Multi-chip TPU hardware is not available in CI; per SURVEY.md §4.2(5) all
+sharding tests run the same SPMD program on a virtual 8-device CPU mesh.
+Must run before jax initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
