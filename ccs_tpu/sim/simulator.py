@@ -1,0 +1,130 @@
+"""Subread simulator: samples reads from the same Arrow HMM used for scoring.
+
+SURVEY.md §4.2(3): polishing simulated subreads must recover the template and
+produce calibrated QVs — this is the multi-ZMW integration fixture that needs
+no real data. Also used to synthesize subreads.bam files for end-to-end tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ccs_tpu.io.bam import BamHeader, BamRecord, BamWriter
+from ccs_tpu.io.pbi import build_index_from_records, write_pbi
+from ccs_tpu.models.chemistry import ArrowParams, default_params
+from ccs_tpu.ops import dna
+
+# Local context flags (cx tag): ADAPTER_BEFORE | ADAPTER_AFTER = full-length pass
+CX_ADAPTER_BEFORE = 1
+CX_ADAPTER_AFTER = 2
+CX_FULL = CX_ADAPTER_BEFORE | CX_ADAPTER_AFTER
+
+
+def simulate_read(tpl: np.ndarray, params: ArrowParams, snr_bin: int,
+                  rng: np.random.Generator) -> np.ndarray:
+    """Draw one read from the generative HMM (see models/chemistry.py)."""
+    tpl = np.asarray(tpl, dtype=np.int64)
+    T = len(tpl)
+    prev = np.concatenate([tpl[:1], tpl[:-1]])
+    ctx = 4 * prev + tpl
+    trans = params.trans[snr_bin][ctx]
+    em = params.emit_match[snr_bin][ctx]
+    es = params.emit_stick[snr_bin][ctx]
+    out = []
+    j = 0
+    while j < T:
+        a = rng.choice(4, p=trans[j])
+        if a == 0:    # match
+            out.append(rng.choice(4, p=em[j]))
+            j += 1
+        elif a == 1:  # branch
+            out.append(tpl[j])
+        elif a == 2:  # stick
+            out.append(rng.choice(4, p=es[j]))
+        else:         # delete
+            j += 1
+    return np.asarray(out, dtype=np.int8)
+
+
+@dataclasses.dataclass
+class SimZmw:
+    hole: int
+    insert: np.ndarray              # true template (int8 codes)
+    subreads: list[np.ndarray]      # subread sequences (int8 codes)
+    strands: list[int]              # 0 = fwd, 1 = rev per subread
+    cx: list[int]                   # local context flags per subread
+    snr: np.ndarray                 # per-channel SNR (4,)
+
+
+def simulate_zmw(hole: int, insert_len: int, n_passes: int,
+                 params: Optional[ArrowParams] = None,
+                 rng: Optional[np.random.Generator] = None,
+                 snr: float = 8.0,
+                 first_partial: bool = False) -> SimZmw:
+    """Simulate one ZMW: a random insert sequenced ``n_passes`` times with
+    alternating strand orientation (the SMRTbell rolling circle)."""
+    params = params or default_params()
+    rng = rng or np.random.default_rng(hole)
+    insert = rng.integers(0, 4, size=insert_len).astype(np.int8)
+    snr_arr = np.asarray([snr] * 4, dtype=np.float32) + rng.normal(0, 0.5, 4).astype(np.float32)
+    snr_bin = int(params.snr_bin(float(snr_arr.mean())))
+    subreads, strands, cxs = [], [], []
+    for p in range(n_passes):
+        strand = p % 2
+        tpl = dna.revcomp(insert) if strand else insert
+        read = simulate_read(tpl, params, snr_bin, rng)
+        cx = CX_FULL
+        if first_partial and p == 0:
+            read = read[len(read) // 2:]
+            cx = CX_ADAPTER_AFTER
+        subreads.append(read)
+        strands.append(strand)
+        cxs.append(cx)
+    return SimZmw(hole=hole, insert=insert, subreads=subreads,
+                  strands=strands, cx=cxs, snr=snr_arr)
+
+
+def make_subreads_header(movie: str = "m00001_260817_000000") -> BamHeader:
+    ds = ("READTYPE=SUBREAD;BINDINGKIT=101-894-200;SEQUENCINGKIT=101-826-100;"
+          "BASECALLERVERSION=5.0.0;FRAMERATEHZ=100.0")
+    text = (
+        "@HD\tVN:1.6\tSO:unknown\tpb:5.0.0\n"
+        f"@RG\tID:sim0001\tPL:PACBIO\tDS:{ds}\tPU:{movie}\n"
+    )
+    return BamHeader(text)
+
+
+def write_subreads_bam(path: str, zmws: list[SimZmw],
+                       movie: str = "m00001_260817_000000",
+                       with_kinetics: bool = False,
+                       rng: Optional[np.random.Generator] = None) -> None:
+    """Write a synthetic subreads.bam (+ .pbi) with the PacBio tag set."""
+    rng = rng or np.random.default_rng(0)
+    header = make_subreads_header(movie)
+    records = []
+    with BamWriter(path, header) as w:
+        for z in zmws:
+            qpos = 0
+            for read, cx in zip(z.subreads, z.cx):
+                qs, qe = qpos, qpos + len(read)
+                qpos = qe + 40  # adapter gap in polymerase coordinates
+                rec = BamRecord(name=f"{movie}/{z.hole}/{qs}_{qe}", seq=read, qual=None)
+                rec.set_tag("zm", "i", int(z.hole))
+                rec.set_tag("qs", "i", qs)
+                rec.set_tag("qe", "i", qe)
+                rec.set_tag("cx", "C", int(cx))
+                rec.set_tag("np", "i", 1)
+                rec.set_tag("sn", "B", z.snr, "f")
+                rec.set_tag("rq", "f", 0.8)
+                rec.set_tag("RG", "Z", b"sim0001")
+                if with_kinetics:
+                    n = len(read)
+                    rec.set_tag("ip", "B", rng.integers(4, 60, n).astype(np.uint8), "C")
+                    rec.set_tag("pw", "B", rng.integers(4, 40, n).astype(np.uint8), "C")
+                w.write_record(rec)
+                records.append(rec)
+        voffs = list(w.voffsets)
+    write_pbi(path + ".pbi", build_index_from_records(records, voffs))
