@@ -1,0 +1,265 @@
+"""Pairwise alignment: banded edit-distance with traceback + k-mer chaining.
+
+Host-side equivalents of the reference's edlib/KSW2 usage
+(/root/reference/docs/how-does-ccs-work.md:41-55). Design note (TPU-first):
+base-exact full-length alignment is only used for *bookkeeping* — backbone
+pileup for drafting, window boundary mapping, coverage/insertion checks. The
+polishing itself marginalizes over alignments in the pair-HMM, so windows
+tolerate ±few-bp fuzziness. That lets the hot path use cheap k-mer anchor
+chaining; the banded DP here is vectorized NumPy (row-wise, with the
+horizontal-move chain solved by a prefix-min trick).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+BIG = 1 << 30
+
+# traceback moves
+M_DIAG, M_UP, M_LEFT = 0, 1, 2  # diag = match/mismatch, up = ins in read, left = del
+
+
+@dataclasses.dataclass
+class Alignment:
+    """Global alignment of read -> template."""
+    score: int                 # total cost under (sub_cost, gap_cost)
+    cigar: list[tuple[int, str]]  # [(length, op)] with ops M/I/D (I = extra read base)
+    # per-template-position read coordinate: rpos_at[j] = read index aligned at
+    # the start of template position j (monotone non-decreasing, len T+1)
+    rpos_at: np.ndarray
+    n_match: int = 0           # exact base matches within M columns
+
+    def identity(self) -> float:
+        total = sum(n for n, _ in self.cigar)
+        return self.n_match / max(total, 1)
+
+
+def band_width_for(rlen: int, tlen: int, frac: float = 0.18, base: int = 24) -> int:
+    return int(base + frac * max(rlen, tlen)) + abs(rlen - tlen)
+
+
+def edit_align(read: np.ndarray, tpl: np.ndarray,
+               band: Optional[int] = None,
+               sub_cost: int = 1, gap_cost: int = 1) -> Optional[Alignment]:
+    """Banded global alignment with traceback and configurable costs.
+
+    With (1, 1) this is edit distance (edlib-equivalent). For SMRT subreads
+    (indel-dominated, ~6:1 indel:mismatch) use ``sub_cost > gap_cost`` (e.g.
+    3, 2) so indels are never absorbed as mismatch pairs — this keeps pileup
+    votes for template indel corrections concentrated at one position (the
+    role the reference's KSW2 scoring plays; how-does-ccs-work.md:53-55).
+
+    Band is centered on the rescaled diagonal j ~= i * T/R. Returns None if
+    the optimal path escapes the band (caller should widen and retry).
+    """
+    read = np.asarray(read, dtype=np.int8)
+    tpl = np.asarray(tpl, dtype=np.int8)
+    R, T = len(read), len(tpl)
+    if R == 0:
+        return Alignment(T * gap_cost, [(T, "D")] if T else [], np.zeros(T + 1, np.int64))
+    if T == 0:
+        return Alignment(R * gap_cost, [(R, "I")], np.zeros(1, np.int64))
+    if band is None:
+        band = band_width_for(R, T)
+    W = min(band, T)
+    width = 2 * W + 1
+
+    # center column for each read row
+    centers = np.round(np.arange(R + 1) * (T / R)).astype(np.int64)
+    # D[k] holds cost at column j = centers[i] - W + k
+    cols_of = lambda i: centers[i] - W + np.arange(width)
+
+    prev = np.full(width, BIG, dtype=np.int64)
+    cols0 = cols_of(0)
+    valid0 = (cols0 >= 0) & (cols0 <= T)
+    prev[valid0] = cols0[valid0] * gap_cost  # row 0: all deletions
+    moves = np.zeros((R, width), dtype=np.int8)
+
+    for i in range(1, R + 1):
+        shift = centers[i] - centers[i - 1]
+        cols = cols_of(i)
+        valid = (cols >= 0) & (cols <= T)
+        # align prev row into current band frame
+        if shift:
+            prev_shifted = np.full(width, BIG, dtype=np.int64)
+            prev_shifted[:width - shift] = prev[shift:]
+        else:
+            prev_shifted = prev
+        # prev value at column j (for vertical move) = prev_shifted[k]
+        # prev value at column j-1 (diag move) = prev_shifted[k-1]
+        diag_prev = np.full(width, BIG, dtype=np.int64)
+        diag_prev[1:] = prev_shifted[:-1]
+        if shift:  # column centers[i]-W-1 in prev frame exists at index shift-1
+            diag_prev[0] = prev[shift - 1]
+        jm1 = cols - 1
+        tchar = np.where((jm1 >= 0) & (jm1 < T), tpl[np.clip(jm1, 0, T - 1)], -2)
+        sub = diag_prev + np.where(tchar == read[i - 1], 0, sub_cost)
+        sub[jm1 < 0] = BIG
+        ins = prev_shifted + gap_cost
+        tmp = np.minimum(sub, ins)
+        move = np.where(sub <= ins, M_DIAG, M_UP).astype(np.int8)
+        tmp[~valid] = BIG  # keep invalid columns out of the horizontal chain
+        # horizontal chain: cur[k] = min over k' <= k of tmp[k'] + g*(k - k')
+        garange = gap_cost * np.arange(width)
+        shifted = tmp - garange
+        runmin = np.minimum.accumulate(shifted)
+        cur = runmin + garange
+        move = np.where(cur < tmp, M_LEFT, move).astype(np.int8)
+        cur[~valid] = BIG
+        moves[i - 1] = move
+        prev = cur
+
+    # endpoint
+    end_k = T - centers[R] + W
+    if end_k < 0 or end_k >= width or prev[end_k] >= BIG:
+        return None
+    score = int(prev[end_k])
+
+    # traceback from (R, T) to (0, 0); rpos_at[j] ends as the *lowest* read
+    # index visited at template position j (i.e. before any insertions there)
+    cigar_rev: list[str] = []
+    rpos_at = np.zeros(T + 1, dtype=np.int64)
+    n_match = 0
+    i, k = R, end_k
+    while True:
+        j = centers[i] - W + k
+        rpos_at[j] = i  # backward walk => final write is the lowest i for j
+        if i == 0 and j == 0:
+            break
+        if i == 0:
+            mv = M_LEFT
+        elif j == 0:
+            mv = M_UP
+        else:
+            mv = moves[i - 1][k]
+        if mv == M_DIAG:
+            n_match += int(read[i - 1] == tpl[j - 1])
+            shift = centers[i] - centers[i - 1]
+            i, k = i - 1, k - 1 + shift
+            cigar_rev.append("M")
+        elif mv == M_UP:
+            shift = centers[i] - centers[i - 1]
+            i, k = i - 1, k + shift
+            cigar_rev.append("I")
+        else:
+            k -= 1
+            cigar_rev.append("D")
+
+    # run-length encode
+    cigar: list[tuple[int, str]] = []
+    for op in reversed(cigar_rev):
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return Alignment(score, cigar, rpos_at, n_match)
+
+
+def align_with_retry(read: np.ndarray, tpl: np.ndarray,
+                     max_band: Optional[int] = None,
+                     sub_cost: int = 1, gap_cost: int = 1) -> Optional[Alignment]:
+    """Widen the band geometrically until the path fits."""
+    band = band_width_for(len(read), len(tpl))
+    limit = max_band or max(len(read), len(tpl))
+    while True:
+        aln = edit_align(read, tpl, band, sub_cost=sub_cost, gap_cost=gap_cost)
+        if aln is not None:
+            return aln
+        if band >= limit:
+            return None
+        band = min(band * 2, limit)
+
+
+# ---------------------------------------------------------------------------
+# k-mer anchor chaining (pancake-style seeding, host-side, vectorized)
+# ---------------------------------------------------------------------------
+
+def _kmer_codes(seq: np.ndarray, k: int) -> np.ndarray:
+    """Packed 2-bit k-mer codes at each position (len-k+1). PAD bases poison."""
+    seq = np.asarray(seq, dtype=np.int64)
+    n = len(seq) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    codes = np.zeros(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=bool)
+    for off in range(k):
+        s = seq[off:off + n]
+        codes = (codes << 2) | np.clip(s, 0, 3)
+        bad |= s < 0
+    codes[bad] = -1
+    return codes
+
+
+def anchor_chain(read: np.ndarray, tpl: np.ndarray, k: int = 13
+                 ) -> np.ndarray:
+    """Monotone chain of unique-k-mer anchors [(rpos, tpos)], sorted by rpos.
+
+    Template k-mers that occur exactly once anchor the mapping; matches are
+    chained by longest-increasing-subsequence on tpos (patience algorithm,
+    O(n log n)) to enforce monotonicity.
+    """
+    tk = _kmer_codes(tpl, k)
+    rk = _kmer_codes(read, k)
+    if len(tk) == 0 or len(rk) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    order = np.argsort(tk, kind="stable")
+    sorted_tk = tk[order]
+    uniq_mask = np.ones(len(sorted_tk), dtype=bool)
+    uniq_mask[1:] &= sorted_tk[1:] != sorted_tk[:-1]
+    uniq_mask[:-1] &= sorted_tk[:-1] != sorted_tk[1:]
+    uniq_mask &= sorted_tk >= 0
+    u_codes = sorted_tk[uniq_mask]
+    u_pos = order[uniq_mask]
+    idx = np.searchsorted(u_codes, rk)
+    idx = np.clip(idx, 0, len(u_codes) - 1)
+    hit = len(u_codes) > 0
+    if not hit:
+        return np.empty((0, 2), dtype=np.int64)
+    match = (u_codes[idx] == rk) & (rk >= 0)
+    rpos = np.nonzero(match)[0]
+    tpos = u_pos[idx[match]]
+    if len(rpos) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    # LIS on tpos (strictly increasing) over anchors sorted by rpos
+    tails: list[int] = []          # tails[h] = smallest tpos ending a chain of len h+1
+    tails_idx: list[int] = []
+    parent = np.full(len(rpos), -1, dtype=np.int64)
+    import bisect
+    for a in range(len(rpos)):
+        t = tpos[a]
+        h = bisect.bisect_left(tails, t)
+        if h == len(tails):
+            tails.append(t)
+            tails_idx.append(a)
+        else:
+            tails[h] = t
+            tails_idx[h] = a
+        parent[a] = tails_idx[h - 1] if h > 0 else -1
+    # reconstruct
+    chain = []
+    a = tails_idx[len(tails) - 1]
+    while a >= 0:
+        chain.append((rpos[a], tpos[a]))
+        a = parent[a]
+    chain.reverse()
+    return np.asarray(chain, dtype=np.int64)
+
+
+def interp_read_pos(chain: np.ndarray, tquery: np.ndarray,
+                    rlen: int, tlen: int) -> np.ndarray:
+    """Interpolate read coordinates for template positions using the anchor
+    chain (piecewise linear, clamped monotone)."""
+    tquery = np.asarray(tquery)
+    if len(chain) == 0:
+        scale = rlen / max(tlen, 1)
+        return np.clip((tquery * scale).astype(np.int64), 0, rlen)
+    tp = np.concatenate([[0], chain[:, 1], [tlen]])
+    rp = np.concatenate([[max(0, chain[0, 0] - chain[0, 1])],
+                         chain[:, 0], [min(rlen, chain[-1, 0] + (tlen - chain[-1, 1]))]])
+    rp = np.maximum.accumulate(rp)
+    out = np.interp(tquery, tp, rp)
+    return np.clip(np.round(out).astype(np.int64), 0, rlen)
