@@ -1,0 +1,214 @@
+"""Arrow polishing loop (components C8/C10, SURVEY.md §2.1): batched
+iterative mutation testing + QV calculation on device.
+
+/root/reference/docs/how-does-ccs-work.md:96-101: for every candidate
+position, test whether the summed subread log-likelihood improves by
+substituting one of the other three nucleotides, inserting one of four after
+the position, or deleting the position; apply the best improvement; repeat
+until no beneficial mutation remains.
+
+Batched TPU formulation: all windows (across ZMWs) advance in lock-step
+inside one ``lax.while_loop``; converged windows become no-ops via an active
+mask (SURVEY.md §7 design principles). Mutation scoring is a dense re-forward
+over [window × mutation × subread] lanes, chunked over mutations to bound
+memory. QVs fall out of the same mutation scores at convergence
+(how-does-ccs-work.md:103-106).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ccs_tpu.ops.hmm_jax import forward_batch
+
+MUTS_PER_POS = 8  # 3 substitutions, 1 deletion, 4 insertions (after pos)
+NEG = -1e30
+
+
+class PolishState(NamedTuple):
+    tpl: jnp.ndarray         # [B, T] int8
+    tlen: jnp.ndarray        # [B] int32
+    core_start: jnp.ndarray  # [B] int32
+    core_end: jnp.ndarray    # [B] int32
+    ll: jnp.ndarray          # [B] f32 current summed log-likelihood
+    active: jnp.ndarray      # [B] bool still improving
+    n_iter: jnp.ndarray      # [B] int32 iterations executed
+
+
+def make_mutants(tpl: jnp.ndarray, tlen: jnp.ndarray):
+    """All single-edit mutants of each template.
+
+    tpl [B, T] -> mut_tpl [B, M, T], mut_tlen [B, M], valid [B, M]
+    with M = MUTS_PER_POS * T. Mutation m: pos = m // 8, kind = m % 8:
+    kind 0-2 substitute (tpl[pos]+1+kind)%4, kind 3 delete pos,
+    kind 4-7 insert base (kind-4) after pos.
+    """
+    B, T = tpl.shape
+    M = MUTS_PER_POS * T
+    m = jnp.arange(M)
+    pos = (m // MUTS_PER_POS)[None, :, None]          # [1, M, 1]
+    kind = (m % MUTS_PER_POS)[None, :, None]
+    j = jnp.arange(T)[None, None, :]                  # [1, 1, T]
+    t = tpl[:, None, :]                               # [B, 1, T]
+    base_at = jnp.take_along_axis(
+        jnp.broadcast_to(t, (B, M, T)),
+        jnp.broadcast_to(pos, (B, M, 1)).astype(jnp.int32), axis=2)  # [B, M, 1]
+
+    sub_base = ((base_at + 1 + kind) % 4).astype(jnp.int8)
+    sub_tpl = jnp.where((j == pos) & (kind <= 2), sub_base, t)
+
+    # delete: shift left at pos
+    del_idx = jnp.clip(j + (j >= pos), 0, T - 1).astype(jnp.int32)
+    del_tpl = jnp.take_along_axis(jnp.broadcast_to(t, (B, M, T)),
+                                  jnp.broadcast_to(del_idx, (B, M, T)), axis=2)
+    del_tpl = jnp.where(j == T - 1, jnp.int8(-1), del_tpl)  # tail is padding
+
+    # insert after pos: new base at index pos+1, suffix shifts right
+    ins_base = (kind - 4).astype(jnp.int8)
+    prev_idx = jnp.clip(j - 1, 0, T - 1).astype(jnp.int32)
+    shifted = jnp.take_along_axis(jnp.broadcast_to(t, (B, M, T)),
+                                  jnp.broadcast_to(prev_idx, (B, M, T)), axis=2)
+    ins_tpl = jnp.where(j <= pos, t, jnp.where(j == pos + 1, ins_base, shifted))
+
+    is_sub = kind <= 2
+    is_del = kind == 3
+    mut_tpl = jnp.where(is_sub, sub_tpl, jnp.where(is_del, del_tpl, ins_tpl))
+    mut_tpl = mut_tpl.astype(jnp.int8)
+
+    tl = tlen[:, None]                                # [B, 1]
+    kind1 = kind[..., 0]
+    pos1 = pos[..., 0]
+    mut_tlen = (tl + jnp.where(kind1 == 3, -1, jnp.where(kind1 >= 4, 1, 0))
+                ).astype(jnp.int32)
+    valid = (pos1 < tl)
+    valid &= jnp.where(kind1 == 3, tl > 1, True)
+    valid &= jnp.where(kind1 >= 4, tl < T, True)
+    # mask pad positions beyond each mutant's tlen
+    mut_tpl = jnp.where(j < mut_tlen[..., None], mut_tpl, jnp.int8(-1))
+    return mut_tpl, mut_tlen, valid
+
+
+def score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens, tables,
+                  m_chunk: int = 32):
+    """Summed-over-subreads LL for every mutant: [B, M].
+
+    Chunked over the mutation axis to bound live DP state
+    ([B, m_chunk, C, T+1] f32 at a time).
+    """
+    B, M, T = mut_tpl.shape
+    _, C, R = reads.shape
+    n_chunks = (M + m_chunk - 1) // m_chunk
+    Mp = n_chunks * m_chunk
+    if Mp != M:
+        pad = Mp - M
+        mut_tpl = jnp.pad(mut_tpl, ((0, 0), (0, pad), (0, 0)), constant_values=-1)
+        mut_tlen = jnp.pad(mut_tlen, ((0, 0), (0, pad)), constant_values=1)
+    mut_tpl = mut_tpl.reshape(B, n_chunks, m_chunk, T).swapaxes(0, 1)
+    mut_tlen = mut_tlen.reshape(B, n_chunks, m_chunk).swapaxes(0, 1)
+
+    def one_chunk(args):
+        mt, ml = args                                  # [B, mc, T], [B, mc]
+        flat_t = mt.reshape(B * m_chunk, T)
+        flat_l = ml.reshape(B * m_chunk)
+        sb = jnp.repeat(snr_bin, m_chunk)
+        rd = jnp.broadcast_to(reads[:, None], (B, m_chunk, C, R)).reshape(-1, C, R)
+        rl = jnp.broadcast_to(rlens[:, None], (B, m_chunk, C)).reshape(-1, C)
+        ll = forward_batch(flat_t, flat_l, sb, rd, rl, tables)  # [B*mc, C]
+        return ll.sum(-1).reshape(B, m_chunk)
+
+    lls = jax.lax.map(one_chunk, (mut_tpl, mut_tlen))  # [n_chunks, B, mc]
+    lls = lls.swapaxes(0, 1).reshape(B, Mp)[:, :M]
+    return jnp.where(valid, lls, NEG)
+
+
+def apply_mutation(tpl, tlen, core_start, core_end, mut_id):
+    """Apply mutation ``mut_id`` (per row) to each template; updates core
+    offsets so stitching (C11) stays exact."""
+    B, T = tpl.shape
+    pos = (mut_id // MUTS_PER_POS).astype(jnp.int32)
+    kind = (mut_id % MUTS_PER_POS).astype(jnp.int32)
+    j = jnp.arange(T)[None, :]
+    p = pos[:, None]
+    k = kind[:, None]
+    base_at = jnp.take_along_axis(tpl, p, axis=1)
+    sub_base = ((base_at + 1 + k) % 4).astype(jnp.int8)
+    sub_tpl = jnp.where(j == p, sub_base, tpl)
+    del_idx = jnp.clip(j + (j >= p), 0, T - 1)
+    del_tpl = jnp.take_along_axis(tpl, del_idx, axis=1)
+    ins_base = (k - 4).astype(jnp.int8)
+    prev_idx = jnp.clip(j - 1, 0, T - 1)
+    shifted = jnp.take_along_axis(tpl, prev_idx, axis=1)
+    ins_tpl = jnp.where(j <= p, tpl, jnp.where(j == p + 1, ins_base, shifted))
+    out = jnp.where(k <= 2, sub_tpl, jnp.where(k == 3, del_tpl, ins_tpl)).astype(jnp.int8)
+
+    delta = jnp.where(kind == 3, -1, jnp.where(kind >= 4, 1, 0)).astype(jnp.int32)
+    new_tlen = tlen + delta
+    out = jnp.where(j < new_tlen[:, None], out, jnp.int8(-1))
+    # core-offset bookkeeping: edit index = pos (sub/del) or pos+1 (ins)
+    edit_idx = jnp.where(kind >= 4, pos + 1, pos)
+    shift_start = jnp.where(kind == 3, -(edit_idx < core_start).astype(jnp.int32),
+                            jnp.where(kind >= 4, (edit_idx <= core_start).astype(jnp.int32), 0))
+    # insertion exactly at core_end belongs to the next window's margin:
+    # do NOT grow the core (keep the boundary stable)
+    shift_end = jnp.where(kind == 3, -(edit_idx < core_end).astype(jnp.int32),
+                          jnp.where(kind >= 4, (edit_idx < core_end).astype(jnp.int32), 0))
+    return out, new_tlen, core_start + shift_start, core_end + shift_end
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "m_chunk"))
+def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
+                   tables, max_iters: int = 40, m_chunk: int = 32):
+    """Iterate best-mutation steps until convergence (all windows, lock-step).
+
+    Returns PolishState plus per-position QV of the final template.
+    """
+    ll0 = forward_batch(tpl, tlen, snr_bin, reads, rlens, tables).sum(-1)
+    has_cov = (rlens >= 0).any(-1)
+    state = PolishState(tpl, tlen.astype(jnp.int32), core_start.astype(jnp.int32),
+                        core_end.astype(jnp.int32), ll0,
+                        active=has_cov, n_iter=jnp.zeros(tpl.shape[0], jnp.int32))
+
+    def cond(state):
+        return state.active.any() & (state.n_iter.max() < max_iters)
+
+    def body(state):
+        mut_tpl, mut_tlen, valid = make_mutants(state.tpl, state.tlen)
+        lls = score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens,
+                            tables, m_chunk=m_chunk)
+        best = jnp.argmax(lls, axis=-1)
+        best_ll = jnp.take_along_axis(lls, best[:, None], axis=1)[:, 0]
+        improved = (best_ll > state.ll + 1e-3) & state.active
+        new_tpl, new_tlen, cs, ce = apply_mutation(
+            state.tpl, state.tlen, state.core_start, state.core_end, best)
+        sel = improved[:, None]
+        return PolishState(
+            tpl=jnp.where(sel, new_tpl, state.tpl),
+            tlen=jnp.where(improved, new_tlen, state.tlen),
+            core_start=jnp.where(improved, cs, state.core_start),
+            core_end=jnp.where(improved, ce, state.core_end),
+            ll=jnp.where(improved, best_ll, state.ll),
+            active=improved,
+            n_iter=state.n_iter + state.active.astype(jnp.int32),
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # --- QV pass: substitution + deletion scores at every position ---
+    mut_tpl, mut_tlen, valid = make_mutants(state.tpl, state.tlen)
+    lls = score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens,
+                        tables, m_chunk=m_chunk)
+    B, T = tpl.shape
+    delta = (lls - state.ll[:, None]).reshape(B, T, MUTS_PER_POS)
+    # per-base alternatives: 3 subs + deletion (kinds 0..3)
+    alt = jnp.where(jnp.isfinite(delta[..., :4]) & (delta[..., :4] > NEG / 2),
+                    delta[..., :4], NEG)
+    # p_err = sum(exp(alt)) / (1 + sum(exp(alt))), capped for stability
+    s = jnp.exp(jnp.minimum(alt, 30.0)).sum(-1)
+    p_err = s / (1.0 + s)
+    qv = -10.0 * jnp.log10(jnp.maximum(p_err, 1e-9))
+    qv = jnp.clip(qv, 0.0, 93.0)
+    return state, qv, p_err

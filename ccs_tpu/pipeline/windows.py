@@ -1,0 +1,155 @@
+"""Windowing (component C4): split the draft into ~22bp ±2bp windows.
+
+/root/reference/docs/how-does-ccs-work.md:57-63: target size 22bp, ±2bp
+overlap, boundaries never inside simple repeats (homopolymers up to 4-mer
+repeats) to reduce window-edge cases. Windowing turns O(L²) polishing into
+O(L): every window from every ZMW becomes one row of the batched device
+polish (SURVEY.md §5 long-context row).
+
+Host-side: cheap, data-dependent bookkeeping. Emits fixed-shape padded
+arrays for the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def repeat_runs(seq: np.ndarray, max_period: int = 4) -> np.ndarray:
+    """Boolean mask: True where position is inside a simple repeat
+    (≥2 consecutive periods of period ≤ max_period)."""
+    seq = np.asarray(seq)
+    T = len(seq)
+    mask = np.zeros(T, dtype=bool)
+    for p in range(1, max_period + 1):
+        if T < 2 * p:
+            continue
+        eq = seq[p:] == seq[:-p]  # eq[i]: seq[i+p] == seq[i]
+        # run of k consecutive eq's starting at i means seq[i:i+p+k] periodic
+        run = np.zeros(T - p, dtype=np.int64)
+        acc = 0
+        for i in range(T - p):
+            acc = acc + 1 if eq[i] else 0
+            run[i] = acc
+        # positions covered by a run with >= p matches (two full periods)
+        for i in np.nonzero(run >= p)[0]:
+            k = run[i]
+            mask[i + p - k:i + p + 1] = True
+    return mask
+
+
+@dataclasses.dataclass
+class Window:
+    core_a: int  # [core_a, core_b) — this window's exclusive slice of the draft
+    core_b: int
+    ext_a: int   # [ext_a, ext_b) — with ±overlap margins
+    ext_b: int
+
+
+def cut_windows(draft: np.ndarray, size: int = 22, overlap: int = 2,
+                max_shift: int = 8) -> list[Window]:
+    """Cut repeat-aware windows over the draft."""
+    T = len(draft)
+    if T == 0:
+        return []
+    rep = repeat_runs(draft)
+    cuts = [0]
+    pos = 0
+    while pos + size < T:
+        j = pos + size
+        # shift the cut right, out of a repeat run (bounded)
+        shift = 0
+        while j < T and shift < max_shift and rep[min(j, T - 1)]:
+            j += 1
+            shift += 1
+        if j >= T:
+            break
+        cuts.append(j)
+        pos = j
+    cuts.append(T)
+    wins = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        wins.append(Window(
+            core_a=a, core_b=b,
+            ext_a=max(0, a - overlap), ext_b=min(T, b + overlap),
+        ))
+    return wins
+
+
+@dataclasses.dataclass
+class WindowBatch:
+    """Fixed-shape device inputs for one ZMW's windows.
+
+    tpl        [W, T_CAP] int8   extended window templates (PAD-filled)
+    tlen       [W] int32
+    core_start [W] int32         core slice within the window template
+    core_end   [W] int32
+    reads      [W, C, R_CAP] int8
+    rlens      [W, C] int32      (-1 = absent lane)
+    full_len   [W, C] bool       subread lane is a full-length pass
+    coverage   [W] int32         live lanes per window
+    """
+    tpl: np.ndarray
+    tlen: np.ndarray
+    core_start: np.ndarray
+    core_end: np.ndarray
+    reads: np.ndarray
+    rlens: np.ndarray
+    full_len: np.ndarray
+    coverage: np.ndarray
+    windows: list[Window]
+
+
+def build_window_batch(draft: np.ndarray,
+                       rpos_list: list[np.ndarray],
+                       reads: list[np.ndarray],
+                       full_length: list[bool],
+                       t_cap: int = 32, r_cap: int = 48, c_cap: int = 32,
+                       size: int = 22, overlap: int = 2) -> WindowBatch:
+    """Slice every mapped subread into every window.
+
+    ``rpos_list[s][j]`` = read coordinate of subread s at draft position j
+    (from its alignment to the draft, or interpolated from anchors).
+    Slices longer than r_cap are truncated (large spurious insertions are
+    trimmed anyway, how-does-ccs-work.md:74-78).
+    """
+    wins = cut_windows(draft, size=size, overlap=overlap)
+    W = len(wins)
+    S = len(reads)
+    C = min(S, c_cap)
+    tpl = np.full((W, t_cap), -1, dtype=np.int8)
+    tlen = np.zeros(W, dtype=np.int32)
+    core_start = np.zeros(W, dtype=np.int32)
+    core_end = np.zeros(W, dtype=np.int32)
+    out_reads = np.full((W, C, r_cap), -1, dtype=np.int8)
+    rlens = np.full((W, C), -1, dtype=np.int32)
+    fl = np.zeros((W, C), dtype=bool)
+    coverage = np.zeros(W, dtype=np.int32)
+
+    for w, win in enumerate(wins):
+        text = draft[win.ext_a:win.ext_b]
+        L = min(len(text), t_cap)
+        tpl[w, :L] = text[:L]
+        tlen[w] = L
+        core_start[w] = win.core_a - win.ext_a
+        core_end[w] = min(win.core_b - win.ext_a, L)
+        lane = 0
+        for s in range(S):
+            if lane >= C:
+                break
+            rpos = rpos_list[s]
+            if rpos is None:
+                continue
+            lo, hi = int(rpos[win.ext_a]), int(rpos[win.ext_b])
+            if hi <= lo:
+                continue  # subread does not span this window
+            piece = reads[s][lo:hi][:r_cap]
+            out_reads[w, lane, :len(piece)] = piece
+            rlens[w, lane] = len(piece)
+            fl[w, lane] = full_length[s]
+            lane += 1
+        coverage[w] = lane
+    return WindowBatch(tpl, tlen, core_start, core_end, out_reads, rlens,
+                       fl, coverage, wins)
