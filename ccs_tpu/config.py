@@ -60,15 +60,21 @@ class CcsConfig:
 
     # --- polishing internals (documented behavior, not reference flags) ---
     window_size: int = 22          # target window size (how-does-ccs-work.md:57-59)
-    window_overlap: int = 2        # ±2 bp overlap
+    # Reference uses ±2 bp; our window cuts come from anchor interpolation
+    # (±2 bp fuzz) instead of exact KSW2 alignments, so wider margins are
+    # needed to push boundary effects out of the cores (measured: total
+    # consensus error 5 -> 2 per 1800 bp going 2 -> 4; flat at 6).
+    window_overlap: int = 4
     max_polish_iterations: int = 40  # NON_CONVERGENT cap
     draft_min_fraction_mapped: float = 0.5  # >50% subreads must align back to draft
                                             # (accuracy-vs-passes.md:31-39)
     heteroduplex_min_len: int = 21  # strand diff > 20 bp fails the ZMW
 
     # --- TPU-only knobs (namespaced; SURVEY.md §5 config row) ---
-    tpu_window_tpl_cap: int = 32       # padded template buffer per window
-    tpu_window_read_cap: int = 48      # padded read-slice length per window
+    # template buffer per window: core (<= size + repeat shift 8) + 2*overlap
+    # margins + growth slack for insertion mutations during polish
+    tpu_window_tpl_cap: int = 48
+    tpu_window_read_cap: int = 56      # padded read-slice length per window
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
     tpu_bucket_edges: tuple[int, ...] = (2048, 8192, 16384, 32768, 65536)
     tpu_mesh_shape: Optional[tuple[int, ...]] = None  # None = all local devices

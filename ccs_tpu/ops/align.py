@@ -44,7 +44,8 @@ def band_width_for(rlen: int, tlen: int, frac: float = 0.18, base: int = 24) -> 
 
 def edit_align(read: np.ndarray, tpl: np.ndarray,
                band: Optional[int] = None,
-               sub_cost: int = 1, gap_cost: int = 1) -> Optional[Alignment]:
+               sub_cost: int = 1, gap_cost: int = 1,
+               centers: Optional[np.ndarray] = None) -> Optional[Alignment]:
     """Banded global alignment with traceback and configurable costs.
 
     With (1, 1) this is edit distance (edlib-equivalent). For SMRT subreads
@@ -53,8 +54,11 @@ def edit_align(read: np.ndarray, tpl: np.ndarray,
     votes for template indel corrections concentrated at one position (the
     role the reference's KSW2 scoring plays; how-does-ccs-work.md:53-55).
 
-    Band is centered on the rescaled diagonal j ~= i * T/R. Returns None if
-    the optimal path escapes the band (caller should widen and retry).
+    Band is centered on the rescaled diagonal j ~= i * T/R, or on an
+    explicit nondecreasing ``centers`` array (len R+1, e.g. interpolated from
+    a k-mer anchor chain — makes long-read alignment O(R * W) with a narrow
+    W). Returns None if the optimal path escapes the band (caller should
+    widen and retry).
     """
     read = np.asarray(read, dtype=np.int8)
     tpl = np.asarray(tpl, dtype=np.int8)
@@ -69,7 +73,14 @@ def edit_align(read: np.ndarray, tpl: np.ndarray,
     width = 2 * W + 1
 
     # center column for each read row
-    centers = np.round(np.arange(R + 1) * (T / R)).astype(np.int64)
+    if centers is None:
+        centers = np.round(np.arange(R + 1) * (T / R)).astype(np.int64)
+    else:
+        centers = np.asarray(centers, dtype=np.int64)
+        assert len(centers) == R + 1
+        centers = np.maximum.accumulate(np.clip(centers, 0, T))
+        centers = centers.copy()
+        centers[0], centers[-1] = 0, T  # endpoints must be reachable
     # D[k] holds cost at column j = centers[i] - W + k
     cols_of = lambda i: centers[i] - W + np.arange(width)
 
@@ -86,14 +97,15 @@ def edit_align(read: np.ndarray, tpl: np.ndarray,
         # align prev row into current band frame
         if shift:
             prev_shifted = np.full(width, BIG, dtype=np.int64)
-            prev_shifted[:width - shift] = prev[shift:]
+            if shift < width:
+                prev_shifted[:width - shift] = prev[shift:]
         else:
             prev_shifted = prev
         # prev value at column j (for vertical move) = prev_shifted[k]
         # prev value at column j-1 (diag move) = prev_shifted[k-1]
         diag_prev = np.full(width, BIG, dtype=np.int64)
         diag_prev[1:] = prev_shifted[:-1]
-        if shift:  # column centers[i]-W-1 in prev frame exists at index shift-1
+        if 0 < shift <= width:  # column centers[i]-W-1 of prev frame
             diag_prev[0] = prev[shift - 1]
         jm1 = cols - 1
         tchar = np.where((jm1 >= 0) & (jm1 < T), tpl[np.clip(jm1, 0, T - 1)], -2)
@@ -247,6 +259,37 @@ def anchor_chain(read: np.ndarray, tpl: np.ndarray, k: int = 13
         a = parent[a]
     chain.reverse()
     return np.asarray(chain, dtype=np.int64)
+
+
+def guided_align(read: np.ndarray, tpl: np.ndarray, band: int = 48,
+                 k: int = 13, sub_cost: int = 1, gap_cost: int = 1
+                 ) -> Optional[Alignment]:
+    """Anchor-chain-guided banded alignment: O(R * band) regardless of drift.
+
+    Chains unique k-mer anchors, interpolates a template center for every
+    read row, and runs the banded DP along that path. Falls back to plain
+    (rescaled-diagonal) banding with widening if the chain is too sparse or
+    the path escapes.
+    """
+    read = np.asarray(read, dtype=np.int8)
+    tpl = np.asarray(tpl, dtype=np.int8)
+    R, T = len(read), len(tpl)
+    if R == 0 or T == 0:
+        return edit_align(read, tpl, sub_cost=sub_cost, gap_cost=gap_cost)
+    chain = anchor_chain(read, tpl, k)
+    if len(chain) >= 3:
+        # invert the chain: template position per read row
+        rp = np.concatenate([[0], chain[:, 0], [R]])
+        tp = np.concatenate([[0], chain[:, 1], [T]])
+        rp = np.maximum.accumulate(rp)
+        tp = np.maximum.accumulate(tp)
+        centers = np.round(np.interp(np.arange(R + 1), rp, tp)).astype(np.int64)
+        for w in (band, band * 2):
+            aln = edit_align(read, tpl, band=w, sub_cost=sub_cost,
+                             gap_cost=gap_cost, centers=centers)
+            if aln is not None:
+                return aln
+    return align_with_retry(read, tpl, sub_cost=sub_cost, gap_cost=gap_cost)
 
 
 def interp_read_pos(chain: np.ndarray, tquery: np.ndarray,

@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 
 from ccs_tpu.ops import dna
-from ccs_tpu.ops.align import align_with_retry, anchor_chain
+from ccs_tpu.ops.align import align_with_retry, anchor_chain, guided_align
 
 
 @dataclasses.dataclass
@@ -52,7 +52,7 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
     n_mapped = 0
     for read in aligned_reads:
         # sub_cost > gap_cost: SMRT errors are indel-dominated; see edit_align
-        aln = align_with_retry(read, tpl, sub_cost=3, gap_cost=2)
+        aln = guided_align(read, tpl, sub_cost=3, gap_cost=2)
         if aln is None or aln.identity() < min_identity:
             mapped.append(False)
             continue
@@ -154,6 +154,6 @@ def generate_draft(subreads: list[np.ndarray],
         if i < len(vote_idx):
             mapped_all.append(mapped_last[i])
         else:
-            aln = align_with_retry(oriented[i], tpl)
+            aln = guided_align(oriented[i], tpl)
             mapped_all.append(aln is not None and aln.identity() >= 0.60)
     return DraftResult(tpl, strands, mapped_all, sum(mapped_all))

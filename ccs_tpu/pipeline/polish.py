@@ -43,9 +43,13 @@ def make_mutants(tpl: jnp.ndarray, tlen: jnp.ndarray):
     """All single-edit mutants of each template.
 
     tpl [B, T] -> mut_tpl [B, M, T], mut_tlen [B, M], valid [B, M]
-    with M = MUTS_PER_POS * T. Mutation m: pos = m // 8, kind = m % 8:
-    kind 0-2 substitute (tpl[pos]+1+kind)%4, kind 3 delete pos,
-    kind 4-7 insert base (kind-4) after pos.
+    with M = MUTS_PER_POS * T + 4. Mutation m < 8T: pos = m // 8,
+    kind = m % 8: kind 0-2 substitute (tpl[pos]+1+kind)%4, kind 3 delete
+    pos, kind 4-7 insert base (kind-4) after pos. The trailing 4 mutations
+    prepend base (m - 8T) before position 0 (only the globally-first window
+    of a ZMW emits that region; how-does-ccs-work.md:98 only lists
+    insert-after, but without this the first template base can never gain a
+    predecessor).
     """
     B, T = tpl.shape
     M = MUTS_PER_POS * T
@@ -89,7 +93,21 @@ def make_mutants(tpl: jnp.ndarray, tlen: jnp.ndarray):
     valid &= jnp.where(kind1 >= 4, tl < T, True)
     # mask pad positions beyond each mutant's tlen
     mut_tpl = jnp.where(j < mut_tlen[..., None], mut_tpl, jnp.int8(-1))
-    return mut_tpl, mut_tlen, valid
+
+    # 4 prepend mutations: base b at index 0, everything shifts right
+    jp = jnp.arange(T)[None, None, :]
+    bases = jnp.arange(4, dtype=jnp.int8)[None, :, None]
+    pre = jnp.where(jp == 0, bases,
+                    jnp.take_along_axis(
+                        jnp.broadcast_to(t, (B, 4, T)),
+                        jnp.broadcast_to(jnp.clip(jp - 1, 0, T - 1), (B, 4, T)).astype(jnp.int32),
+                        axis=2)).astype(jnp.int8)
+    pre_tlen = jnp.broadcast_to(tlen[:, None] + 1, (B, 4)).astype(jnp.int32)
+    pre = jnp.where(jp < pre_tlen[..., None], pre, jnp.int8(-1))
+    pre_valid = jnp.broadcast_to(tlen[:, None] < T, (B, 4))
+    return (jnp.concatenate([mut_tpl, pre], axis=1),
+            jnp.concatenate([mut_tlen, pre_tlen], axis=1),
+            jnp.concatenate([valid, pre_valid], axis=1))
 
 
 def score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens, tables,
@@ -125,12 +143,17 @@ def score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens, tables,
     return jnp.where(valid, lls, NEG)
 
 
-def apply_mutation(tpl, tlen, core_start, core_end, mut_id):
+def apply_mutation(tpl, tlen, core_start, core_end, mut_id, is_first=None):
     """Apply mutation ``mut_id`` (per row) to each template; updates core
-    offsets so stitching (C11) stays exact."""
+    offsets so stitching (C11) stays exact. ``is_first`` marks the globally
+    first window of each ZMW (a prepended base belongs to its core)."""
     B, T = tpl.shape
-    pos = (mut_id // MUTS_PER_POS).astype(jnp.int32)
-    kind = (mut_id % MUTS_PER_POS).astype(jnp.int32)
+    if is_first is None:
+        is_first = jnp.zeros(B, dtype=bool)
+    is_pre = mut_id >= MUTS_PER_POS * T
+    reg_id = jnp.where(is_pre, 0, mut_id)
+    pos = (reg_id // MUTS_PER_POS).astype(jnp.int32)
+    kind = (reg_id % MUTS_PER_POS).astype(jnp.int32)
     j = jnp.arange(T)[None, :]
     p = pos[:, None]
     k = kind[:, None]
@@ -150,22 +173,45 @@ def apply_mutation(tpl, tlen, core_start, core_end, mut_id):
     out = jnp.where(j < new_tlen[:, None], out, jnp.int8(-1))
     # core-offset bookkeeping: edit index = pos (sub/del) or pos+1 (ins)
     edit_idx = jnp.where(kind >= 4, pos + 1, pos)
+    # Junction convention: an insertion landing exactly at core_start is
+    # pushed OUT (grows the left margin) while one landing exactly at
+    # core_end is kept IN — so a base inserted at the junction between two
+    # windows' cores is emitted by exactly one of them (the left window).
     shift_start = jnp.where(kind == 3, -(edit_idx < core_start).astype(jnp.int32),
                             jnp.where(kind >= 4, (edit_idx <= core_start).astype(jnp.int32), 0))
-    # insertion exactly at core_end belongs to the next window's margin:
-    # do NOT grow the core (keep the boundary stable)
     shift_end = jnp.where(kind == 3, -(edit_idx < core_end).astype(jnp.int32),
-                          jnp.where(kind >= 4, (edit_idx < core_end).astype(jnp.int32), 0))
-    return out, new_tlen, core_start + shift_start, core_end + shift_end
+                          jnp.where(kind >= 4, (edit_idx <= core_end).astype(jnp.int32), 0))
+
+    # prepend mutation: base (mut_id - 8T) inserted before index 0
+    pre_base = jnp.clip(mut_id - MUTS_PER_POS * T, 0, 3).astype(jnp.int8)
+    j1 = jnp.arange(T)[None, :]
+    pre_tpl = jnp.where(j1 == 0, pre_base[:, None],
+                        jnp.take_along_axis(tpl, jnp.clip(j1 - 1, 0, T - 1), axis=1)
+                        ).astype(jnp.int8)
+    pre_tlen = tlen + 1
+    pre_tpl = jnp.where(j1 < pre_tlen[:, None], pre_tpl, jnp.int8(-1))
+    # first window with core_start==0 keeps the prepended base in-core
+    pre_cs = jnp.where(is_first & (core_start == 0), core_start, core_start + 1)
+    pre_ce = core_end + 1
+
+    out = jnp.where(is_pre[:, None], pre_tpl, out)
+    new_tlen = jnp.where(is_pre, pre_tlen, new_tlen)
+    new_cs = jnp.where(is_pre, pre_cs, core_start + shift_start)
+    new_ce = jnp.where(is_pre, pre_ce, core_end + shift_end)
+    return out, new_tlen, new_cs, new_ce
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "m_chunk"))
 def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
-                   tables, max_iters: int = 40, m_chunk: int = 32):
+                   tables, max_iters: int = 40, m_chunk: int = 32,
+                   is_first=None):
     """Iterate best-mutation steps until convergence (all windows, lock-step).
 
+    ``is_first``: bool [B], True for the globally-first window of each ZMW.
     Returns PolishState plus per-position QV of the final template.
     """
+    if is_first is None:
+        is_first = jnp.zeros(tpl.shape[0], dtype=bool)
     ll0 = forward_batch(tpl, tlen, snr_bin, reads, rlens, tables).sum(-1)
     has_cov = (rlens >= 0).any(-1)
     state = PolishState(tpl, tlen.astype(jnp.int32), core_start.astype(jnp.int32),
@@ -183,7 +229,8 @@ def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
         best_ll = jnp.take_along_axis(lls, best[:, None], axis=1)[:, 0]
         improved = (best_ll > state.ll + 1e-3) & state.active
         new_tpl, new_tlen, cs, ce = apply_mutation(
-            state.tpl, state.tlen, state.core_start, state.core_end, best)
+            state.tpl, state.tlen, state.core_start, state.core_end, best,
+            is_first)
         sel = improved[:, None]
         return PolishState(
             tpl=jnp.where(sel, new_tpl, state.tpl),
@@ -202,7 +249,7 @@ def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
     lls = score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens,
                         tables, m_chunk=m_chunk)
     B, T = tpl.shape
-    delta = (lls - state.ll[:, None]).reshape(B, T, MUTS_PER_POS)
+    delta = (lls[:, :MUTS_PER_POS * T] - state.ll[:, None]).reshape(B, T, MUTS_PER_POS)
     # per-base alternatives: 3 subs + deletion (kinds 0..3)
     alt = jnp.where(jnp.isfinite(delta[..., :4]) & (delta[..., :4] > NEG / 2),
                     delta[..., :4], NEG)

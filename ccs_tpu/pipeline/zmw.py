@@ -1,0 +1,260 @@
+"""Per-ZMW pipeline (L3): filter → draft → align → window → polish → finalize.
+
+Stage structure mirrors the documented processZmw flow (SURVEY.md §3.2;
+/root/reference/docs/how-does-ccs-work.md:17-113). Failures are data: each
+ZMW terminates in exactly one ZmwStatus; a failed ZMW never aborts a batch.
+
+Split into three phases so the device work batches across many ZMWs:
+  1. ``prepare_zmw``  (host): filters, draft, window batch construction
+  2. ``polish_windows`` (device, ccs_tpu.pipeline.polish): batched over the
+     concatenated windows of many ZMWs
+  3. ``finalize_zmw`` (host): stitch cores, rq gate, tags/metrics
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from ccs_tpu.config import CcsConfig
+from ccs_tpu.ops import dna
+from ccs_tpu.ops.align import anchor_chain, guided_align, interp_read_pos
+from ccs_tpu.pipeline.draft import generate_draft
+from ccs_tpu.pipeline.windows import WindowBatch, build_window_batch
+from ccs_tpu.statuses import ZmwStatus
+
+CX_ADAPTER_BEFORE = 1
+CX_ADAPTER_AFTER = 2
+
+
+@dataclasses.dataclass
+class Subread:
+    seq: np.ndarray          # int8 codes
+    cx: int = 3              # local context flags
+    qs: int = 0
+    qe: int = 0
+    ipd: Optional[np.ndarray] = None   # kinetics (uint8 codec V1 frames)
+    pw: Optional[np.ndarray] = None
+
+    @property
+    def full_length(self) -> bool:
+        return (self.cx & (CX_ADAPTER_BEFORE | CX_ADAPTER_AFTER)) == \
+            (CX_ADAPTER_BEFORE | CX_ADAPTER_AFTER)
+
+
+@dataclasses.dataclass
+class ZmwInput:
+    hole: int
+    movie: str
+    subreads: list[Subread]
+    snr: np.ndarray          # per-channel SNR (A, C, G, T)
+
+
+@dataclasses.dataclass
+class ConsensusResult:
+    hole: int
+    movie: str
+    status: ZmwStatus
+    seq: Optional[np.ndarray] = None      # int8 codes
+    qv: Optional[np.ndarray] = None       # float per-base QV (pre-binning)
+    rq: float = -1.0
+    num_passes: int = 0                   # np tag
+    effective_coverage: float = 0.0       # ec tag
+    insert_size: int = 0
+    polymerase_length: int = 0
+    has_tandem_repeat: bool = False
+    snr: Optional[np.ndarray] = None
+    strand: str = ""                      # "" double-strand, "fwd"/"rev" by-strand
+    wall_start: int = 0
+    wall_end: int = 0
+    n_windows: int = 0
+    converged: bool = True
+
+
+@dataclasses.dataclass
+class ZmwWorkItem:
+    """Host state carried between prepare and finalize around the device step."""
+    zmw: ZmwInput
+    result: ConsensusResult               # pre-filled metadata / terminal status
+    batch: Optional[WindowBatch] = None   # None => terminal before polish
+    snr_bin: int = 0
+
+    @property
+    def terminal(self) -> bool:
+        return self.batch is None
+
+
+def median_length_filter(subreads: list[Subread]) -> list[int]:
+    """Keep subreads within 50%..200% of the median subread length
+    (how-does-ccs-work.md:24,27-32)."""
+    lengths = np.asarray([len(s.seq) for s in subreads], dtype=np.float64)
+    med = np.median(lengths)
+    keep = (lengths >= 0.5 * med) & (lengths <= 2.0 * med)
+    return [i for i in range(len(subreads)) if keep[i]]
+
+
+def cap_top_passes(subreads: list[Subread], top: int) -> list[int]:
+    """Cap used passes at --top-passes, preferring lengths closest to the
+    median (accuracy-vs-passes.md:49-52)."""
+    if top <= 0 or len(subreads) <= top:
+        return list(range(len(subreads)))
+    lengths = np.asarray([len(s.seq) for s in subreads], dtype=np.float64)
+    med = np.median(lengths)
+    order = np.argsort(np.abs(lengths - med), kind="stable")[:top]
+    return sorted(int(i) for i in order)
+
+
+def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
+                params_snr_edges: np.ndarray) -> ZmwWorkItem:
+    """Host phase 1: filters + draft + window batch. Never raises on bad
+    data — errors become EXCEPTION_THROWN by the caller."""
+    res = ConsensusResult(hole=zmw.hole, movie=zmw.movie,
+                          status=ZmwStatus.SUCCESS, snr=zmw.snr)
+    subs = zmw.subreads
+    if subs:
+        res.polymerase_length = max(s.qe for s in subs) - min(s.qs for s in subs)
+        res.wall_start = min(s.qs for s in subs)
+        res.wall_end = max(s.qe for s in subs)
+
+    def fail(status: ZmwStatus) -> ZmwWorkItem:
+        res.status = status
+        return ZmwWorkItem(zmw, res, None)
+
+    # 1. SNR filter (how-does-ccs-work.md:21)
+    if len(zmw.snr) and float(np.min(zmw.snr)) < cfg.min_snr:
+        return fail(ZmwStatus.POOR_SNR)
+    if not subs:
+        return fail(ZmwStatus.NO_SUBREADS)
+
+    # median-length filter
+    keep = median_length_filter(subs)
+    if not keep:
+        return fail(ZmwStatus.NO_SUBREADS)
+    subs = [subs[i] for i in keep]
+    med_len = int(np.median([len(s.seq) for s in subs]))
+    res.insert_size = med_len  # until draft/polish overrides
+
+    # full-length pass count (how-does-ccs-work.md:25)
+    n_fl = sum(1 for s in subs if s.full_length)
+    if n_fl < max(cfg.min_passes, 1):
+        return fail(ZmwStatus.TOO_FEW_PASSES)
+
+    # 1b. --top-passes cap
+    subs = [subs[i] for i in cap_top_passes(subs, cfg.top_passes)]
+
+    # 2. draft generation
+    dr = generate_draft([s.seq for s in subs], [s.full_length for s in subs])
+    if dr.draft is None:
+        return fail(ZmwStatus.DRAFT_FAILURE)
+    draft = dr.draft
+    res.insert_size = len(draft)
+    if cfg.max_length > 0 and len(draft) > cfg.max_length:
+        return fail(ZmwStatus.TOO_LONG)
+    if len(draft) < cfg.min_length:
+        return fail(ZmwStatus.TOO_SHORT)
+
+    # draft acceptance: >50% of subreads must align back
+    # (accuracy-vs-passes.md:31-39)
+    if dr.n_mapped * 2 <= len(subs):
+        return fail(ZmwStatus.DRAFT_FAILURE)
+    fl_mapped = sum(1 for s, m in zip(subs, dr.mapped) if m and s.full_length)
+    if fl_mapped < max(cfg.min_passes, 1):
+        return fail(ZmwStatus.TOO_FEW_PASSES_AFTER_DRAFT_ALIGNMENT)
+
+    # 3. align subreads to draft: anchor chains give window coordinates
+    T = len(draft)
+    rpos_list: list[Optional[np.ndarray]] = []
+    spans = 0
+    for s, strand, mapped in zip(subs, dr.strands, dr.mapped):
+        if not mapped:
+            rpos_list.append(None)
+            continue
+        read = dna.revcomp(s.seq) if strand else s.seq
+        chain = anchor_chain(read, draft)
+        if len(chain) < 2:
+            rpos_list.append(None)
+            continue
+        rpos = interp_read_pos(chain, np.arange(T + 1), len(read), T)
+        # pull the slice boundaries at the template ends outward a few bases:
+        # the linear interpolation otherwise cuts off exactly the unaligned
+        # read prefix/suffix that holds the evidence for bases the draft is
+        # missing at its ends (the HMM absorbs true overhangs as insertions)
+        rpos[0] = max(0, int(rpos[0]) - 6)
+        rpos[T] = min(len(read), int(rpos[T]) + 6)
+        rpos_list.append(rpos)
+        # end-to-end span: anchors reach near both draft ends (margin is
+        # fractional but at least a k-mer-placement-limited 60 bp)
+        margin = max(0.05 * T, 60.0)
+        if chain[0, 1] < margin and chain[-1, 1] > T - margin:
+            spans += 1
+    if spans < max(cfg.min_passes, 1):
+        return fail(ZmwStatus.INSUFFICIENT_SPANS)
+
+    oriented = [dna.revcomp(s.seq) if strand else s.seq
+                for s, strand in zip(subs, dr.strands)]
+
+    # 4. windows + slices
+    batch = build_window_batch(
+        draft, rpos_list, oriented, [s.full_length for s in subs],
+        t_cap=cfg.tpu_window_tpl_cap, r_cap=cfg.tpu_window_read_cap,
+        c_cap=cfg.tpu_window_coverage_cap,
+        size=cfg.window_size, overlap=cfg.window_overlap)
+    if len(batch.windows) == 0:
+        return fail(ZmwStatus.DRAFT_FAILURE)
+
+    # empty window / coverage-drop checks (how-does-ccs-work.md:COVERAGE_DROPS)
+    cov = batch.coverage
+    if (cov == 0).any():
+        return fail(ZmwStatus.EMPTY_WINDOW_DURING_POLISHING)
+    med_cov = float(np.median(cov))
+    if med_cov >= 4 and float(cov.min()) < 0.3 * med_cov:
+        return fail(ZmwStatus.COVERAGE_DROPS)
+
+    # np / ec per documented semantics (accuracy-vs-passes.md:15-29)
+    fl_cov = (batch.full_len & (batch.rlens >= 0)).sum(axis=1)
+    vals, counts = np.unique(fl_cov, return_counts=True)
+    res.num_passes = int(vals[np.argmax(counts)])          # mode over windows
+    res.effective_coverage = float((batch.rlens >= 0).sum(axis=1).mean())
+    res.n_windows = len(batch.windows)
+
+    snr_bin = int(np.searchsorted(params_snr_edges, float(np.mean(zmw.snr))))
+    return ZmwWorkItem(zmw, res, batch, snr_bin)
+
+
+def finalize_zmw(item: ZmwWorkItem, tpl: np.ndarray, tlen: np.ndarray,
+                 core_start: np.ndarray, core_end: np.ndarray,
+                 qv: np.ndarray, converged: np.ndarray,
+                 cfg: CcsConfig) -> ConsensusResult:
+    """Host phase 3: stitch polished window cores, compute rq, gate on
+    --min-rq (how-does-ccs-work.md:108-112)."""
+    res = item.result
+    if not np.all(converged):
+        res.status = ZmwStatus.NON_CONVERGENT
+        return res
+    pieces, qv_pieces = [], []
+    for w in range(len(tlen)):
+        a, b = int(core_start[w]), int(core_end[w])
+        a = max(0, min(a, int(tlen[w])))
+        b = max(a, min(b, int(tlen[w])))
+        pieces.append(np.asarray(tpl[w, a:b], dtype=np.int8))
+        qv_pieces.append(np.asarray(qv[w, a:b], dtype=np.float32))
+    seq = np.concatenate(pieces) if pieces else np.empty(0, np.int8)
+    qvs = np.concatenate(qv_pieces) if qv_pieces else np.empty(0, np.float32)
+    if len(seq) == 0:
+        res.status = ZmwStatus.DRAFT_FAILURE
+        return res
+    p_err = np.power(10.0, -qvs / 10.0)
+    rq = float(1.0 - p_err.mean())
+    res.seq = seq
+    res.qv = qvs
+    res.rq = rq
+    res.insert_size = len(seq)
+    if rq < cfg.min_rq:
+        res.status = ZmwStatus.POOR_QUALITY
+        # reference still reports insert_size etc. for failed ZMWs
+        return res
+    res.status = ZmwStatus.SUCCESS
+    return res

@@ -32,7 +32,7 @@ class TestMutants:
         tpl = jnp.asarray([[0, 1, 2, 3, -1, -1]], dtype=jnp.int8)
         tlen = jnp.asarray([4], dtype=jnp.int32)
         mt, ml, valid = polish.make_mutants(tpl, tlen)
-        assert mt.shape == (1, 48, 6)
+        assert mt.shape == (1, 8 * 6 + 4, 6)
         mt, ml, valid = map(np.asarray, (mt, ml, valid))
         # substitution kind 0 at pos 1: base 1 -> 2
         m = 1 * 8 + 0
@@ -48,6 +48,10 @@ class TestMutants:
         assert ml[0, m] == 5
         # mutations at pos >= tlen invalid
         assert not valid[0, 4 * 8]
+        # prepend mutation: base 2 before position 0
+        m = 8 * 6 + 2
+        np.testing.assert_array_equal(mt[0, m, :5], [2, 0, 1, 2, 3])
+        assert ml[0, m] == 5 and valid[0, m]
 
     def test_apply_matches_make(self):
         rng = np.random.default_rng(0)
