@@ -1,0 +1,305 @@
+"""ccs_tpu command-line interface (L6).
+
+Mirrors the reference surface: ``ccs <in.subreads.bam> <out.{bam,fastq.gz,
+consensusreadset.xml}>`` plus the documented flags (SURVEY.md §2.4;
+/root/reference/docs/index.md:52-67, sqiie.md:33-47).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import gzip
+import json
+import logging
+import os
+import sys
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ccs_tpu import __version__
+from ccs_tpu.config import CcsConfig
+from ccs_tpu.io.bam import (BamHeader, BamReader, BamRecord, BamWriter,
+                            make_ccs_header)
+from ccs_tpu.io.datasetxml import write_consensusreadset
+from ccs_tpu.io.fastq import FastqWriter
+from ccs_tpu.io.pbi import build_index_from_records, read_pbi, write_pbi
+from ccs_tpu.models.chemistry import load_model
+from ccs_tpu.pipeline.engine import CcsEngine
+from ccs_tpu.pipeline.qvbin import bin_qvs
+from ccs_tpu.pipeline.zmw import ConsensusResult, Subread, ZmwInput
+from ccs_tpu.report.metrics import ProgressReporter, write_zmw_metrics
+from ccs_tpu.report.stats import (RunStats, format_ccs_report,
+                                  format_summary_log, hifi_summary_dict,
+                                  report_json_dict)
+from ccs_tpu.statuses import ZmwStatus
+
+logger = logging.getLogger("ccs_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ccs_tpu",
+        description="TPU-native circular consensus sequencing (HiFi) engine")
+    p.add_argument("input", help="subreads.bam (or - with --streamed)")
+    p.add_argument("output", help="out.bam | out.fastq.gz | out.consensusreadset.xml")
+    p.add_argument("--min-snr", type=float, default=2.5)
+    p.add_argument("--min-passes", type=int, default=3)
+    p.add_argument("--min-length", type=int, default=10)
+    p.add_argument("--max-length", type=int, default=50000)
+    p.add_argument("--min-rq", type=float, default=0.99)
+    p.add_argument("--top-passes", type=int, default=60)
+    p.add_argument("--max-insertion-size", type=int, default=30)
+    p.add_argument("--min-tandem-repeat-length", type=int, default=1000)
+    p.add_argument("--disable-heuristics", action="store_true")
+    p.add_argument("--all", dest="mode_all", action="store_true")
+    p.add_argument("--subread-fallback", action="store_true")
+    p.add_argument("--by-strand", action="store_true")
+    p.add_argument("--hd-finder", action="store_true")
+    p.add_argument("--hifi-kinetics", action="store_true")
+    p.add_argument("--all-kinetics", action="store_true")
+    p.add_argument("--chunk", type=str, default=None, metavar="i/N")
+    p.add_argument("-j", "--num-threads", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--input-buffer", type=int, default=4)
+    p.add_argument("--streamed", action="store_true")
+    p.add_argument("--fastq", type=str, default=None)
+    p.add_argument("--bam", type=str, default=None)
+    p.add_argument("--report-file", type=str, default=None)
+    p.add_argument("--report-json", type=str, default=None)
+    p.add_argument("--metrics-json", type=str, default=None)
+    p.add_argument("--hifi-summary-json", type=str, default=None)
+    p.add_argument("--suppress-reports", action="store_true")
+    p.add_argument("--subsample-clr-perc", type=float, default=0.0)
+    p.add_argument("--subsample-clr-file", type=str, default=None)
+    p.add_argument("--log-level", type=str, default="WARN")
+    p.add_argument("--log-file", type=str, default=None)
+    p.add_argument("--stderr-json-log", action="store_true")
+    p.add_argument("--refresh-rate", type=float, default=5.0)
+    p.add_argument("--version", action="version", version=__version__)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> CcsConfig:
+    chunk = None
+    if args.chunk:
+        i, n = args.chunk.split("/")
+        chunk = (int(i), int(n))
+        if not (1 <= chunk[0] <= chunk[1]):
+            raise SystemExit(f"invalid --chunk {args.chunk}")
+    cfg = CcsConfig(
+        min_snr=args.min_snr, min_passes=args.min_passes,
+        min_length=args.min_length, max_length=args.max_length,
+        min_rq=args.min_rq, top_passes=args.top_passes,
+        max_insertion_size=args.max_insertion_size,
+        min_tandem_repeat_length=args.min_tandem_repeat_length,
+        disable_heuristics=args.disable_heuristics,
+        mode_all=args.mode_all, subread_fallback=args.subread_fallback,
+        by_strand=args.by_strand, hd_finder=args.hd_finder,
+        hifi_kinetics=args.hifi_kinetics, all_kinetics=args.all_kinetics,
+        chunk=chunk, num_threads=args.num_threads,
+        batch_size=args.batch_size, input_buffer=args.input_buffer,
+        streamed=args.streamed, output=args.output, fastq=args.fastq,
+        bam=args.bam, report_file=args.report_file,
+        report_json=args.report_json, metrics_json=args.metrics_json,
+        hifi_summary_json=args.hifi_summary_json,
+        suppress_reports=args.suppress_reports,
+        subsample_clr_perc=args.subsample_clr_perc,
+        subsample_clr_file=args.subsample_clr_file,
+        log_level=args.log_level, log_file=args.log_file,
+        stderr_json_log=args.stderr_json_log,
+        refresh_rate=args.refresh_rate,
+    )
+    return cfg
+
+
+def subread_from_record(rec: BamRecord) -> Subread:
+    return Subread(
+        seq=rec.seq,
+        cx=int(rec.tag("cx", 0)),
+        qs=int(rec.tag("qs", 0)),
+        qe=int(rec.tag("qe", len(rec.seq))),
+        ipd=rec.tag("ip"), pw=rec.tag("pw"),
+    )
+
+
+def iter_zmws(reader: BamReader, movie: str,
+              hole_range: Optional[tuple[set, None]] = None,
+              holes: Optional[set] = None) -> Iterator[ZmwInput]:
+    """Group consecutive records by hole number into ZmwInputs."""
+    cur_hole: Optional[int] = None
+    cur_subs: list[Subread] = []
+    cur_snr = np.zeros(4, dtype=np.float32)
+    for rec in reader:
+        hole = int(rec.tag("zm", -1))
+        if holes is not None and hole not in holes:
+            continue
+        if hole != cur_hole:
+            if cur_hole is not None and cur_subs:
+                yield ZmwInput(cur_hole, movie, cur_subs, cur_snr)
+            cur_hole, cur_subs = hole, []
+            sn = rec.tag("sn")
+            cur_snr = np.asarray(sn, np.float32) if sn is not None \
+                else np.zeros(4, np.float32)
+        cur_subs.append(subread_from_record(rec))
+    if cur_hole is not None and cur_subs:
+        yield ZmwInput(cur_hole, movie, cur_subs, cur_snr)
+
+
+def result_to_record(res: ConsensusResult, rg_id: str) -> BamRecord:
+    """HiFi BAM record with the documented tag set (bam-output.md:7-30)."""
+    name = f"{res.movie}/{res.hole}/ccs"
+    if res.strand:
+        name += f"/{res.strand}"
+    binned = bin_qvs(res.qv)
+    rec = BamRecord(name=name, seq=res.seq, qual=binned)
+    rec.set_tag("np", "i", int(res.num_passes))
+    rec.set_tag("ec", "f", float(round(res.effective_coverage, 3)))
+    rec.set_tag("rq", "f", float(res.rq))
+    rec.set_tag("zm", "i", int(res.hole))
+    if res.snr is not None:
+        rec.set_tag("sn", "B", np.asarray(res.snr, np.float32), "f")
+    rec.set_tag("RG", "Z", rg_id.encode())
+    return rec
+
+
+def run(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    level = getattr(logging, cfg.log_level.upper(), logging.WARNING)
+    log_kwargs = {"filename": cfg.log_file} if cfg.log_file \
+        else {"stream": sys.stderr}
+    logging.basicConfig(
+        level=level, format="%(asctime)s %(levelname)s %(message)s",
+        **log_kwargs)
+
+    out = cfg.output
+    prefix = out
+    for suffix in (".bam", ".fastq.gz", ".fq.gz", ".consensusreadset.xml"):
+        if out.endswith(suffix):
+            prefix = out[:-len(suffix)]
+            break
+    want_xml = out.endswith(".consensusreadset.xml")
+    want_fastq_main = out.endswith((".fastq.gz", ".fq.gz"))
+    bam_path = cfg.bam or (out if out.endswith(".bam")
+                           else (prefix + ".bam" if want_xml else None))
+
+    # --- input ---
+    src = sys.stdin.buffer if (cfg.streamed or args.input == "-") else args.input
+    if isinstance(src, str) and not os.path.exists(src):
+        print(f"ccs_tpu ERROR: input file not found: {src}", file=sys.stderr)
+        return 1
+    reader = BamReader(src)
+    movie = reader.header.movie_name() or "unknown_movie"
+    chemistry = reader.header.chemistry()
+    if chemistry is None:
+        logger.error("input BAM has no chemistry information in @RG DS")
+        return 1
+    params = load_model(chemistry)
+    logger.info("Using chemistry model %s", params.name)
+
+    # --chunk via .pbi (parallelize.md:8-20)
+    holes: Optional[set] = None
+    total_zmws = None
+    pbi_path = args.input + ".pbi" if isinstance(src, str) else None
+    if pbi_path and os.path.exists(pbi_path):
+        idx = read_pbi(pbi_path)
+        uniq = idx.unique_zmws()
+        total_zmws = len(uniq)
+        if cfg.chunk:
+            i, n = cfg.chunk
+            lo, hi = idx.zmw_chunk_ranges(n)[i - 1]
+            holes = set(int(h) for h in uniq[lo:hi])
+            total_zmws = len(holes)
+    elif cfg.chunk:
+        logger.error("--chunk requires a .pbi index next to the input BAM")
+        return 1
+
+    engine = CcsEngine(cfg, params)
+    cfg = engine.cfg  # resolved (--all implications)
+    stats = RunStats()
+    # progress protocol is an INFO-level feature (reports-aux-files.md:175-177)
+    progress = ProgressReporter(
+        cfg.refresh_rate if level <= logging.INFO else 1e12,
+        total_zmws, max(cfg.num_threads, 1))
+
+    rg_id = "ccstpu01"
+    read_groups = [{
+        "ID": rg_id, "PL": "PACBIO", "PU": movie,
+        "DS": "READTYPE=CCS;" + ";".join(
+            f"{k}={v}" for k, v in chemistry.items()),
+    }]
+    header = make_ccs_header(movie, read_groups,
+                             program_args=" ".join(argv or sys.argv[1:]),
+                             version=__version__)
+
+    bam_writer = BamWriter(bam_path, header) if bam_path else None
+    written_records: list[BamRecord] = []
+    fastq_path = cfg.fastq or (out if want_fastq_main else None)
+    fastq_writer = FastqWriter(fastq_path) if fastq_path else None
+
+    batch: list[ZmwInput] = []
+
+    def flush_batch():
+        if not batch:
+            return
+        results = engine.process_batch(batch)
+        n_ccs = 0
+        for res in results:
+            stats.add(res)
+            if res.status in (ZmwStatus.SUCCESS, ZmwStatus.LOW_PASS_SHORTCUT) \
+                    and res.seq is not None:
+                n_ccs += 1
+                rec = result_to_record(res, rg_id)
+                if bam_writer:
+                    voff = bam_writer.write_record(rec)
+                    written_records.append(rec)
+                if fastq_writer:
+                    fastq_writer.write(rec.name, res.seq, bin_qvs(res.qv))
+        progress.update(len(batch), n_ccs)
+        batch.clear()
+
+    for zmw in iter_zmws(reader, movie, holes=holes):
+        batch.append(zmw)
+        if len(batch) >= cfg.batch_size:
+            flush_batch()
+    flush_batch()
+    reader.close()
+
+    # --- outputs ---
+    if bam_writer:
+        voffs = list(bam_writer.voffsets)
+        bam_writer.close()
+        write_pbi(bam_path + ".pbi",
+                  build_index_from_records(written_records, voffs))
+    if fastq_writer:
+        fastq_writer.close()
+    if want_xml:
+        write_consensusreadset(out, bam_path, len(written_records),
+                               sum(len(r.seq) for r in written_records))
+
+    if not cfg.suppress_reports or cfg.report_file:
+        path = cfg.report_file or f"{prefix}.ccs_report.txt"
+        with open(path, "w") as fh:
+            fh.write(format_ccs_report(stats))
+    if cfg.report_json:
+        with open(cfg.report_json, "w") as fh:
+            json.dump(report_json_dict(stats), fh, indent=2)
+    if not cfg.suppress_reports or cfg.metrics_json:
+        path = cfg.metrics_json or f"{prefix}.zmw_metrics.json.gz"
+        write_zmw_metrics(path, stats)
+    if cfg.hifi_summary_json:
+        with open(cfg.hifi_summary_json, "w") as fh:
+            json.dump(hifi_summary_dict(stats), fh, indent=2)
+    if level <= logging.INFO:
+        print(format_summary_log(stats), file=sys.stderr)
+    return 0
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

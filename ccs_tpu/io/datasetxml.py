@@ -1,0 +1,44 @@
+"""consensusreadset.xml writer (PacBio DataSet XML, minimal valid subset).
+
+The reference accepts ``out.consensusreadset.xml`` as the output positional
+(index.md:55-58), writing the BAM + .pbi alongside and an XML wrapper that
+SMRT Link consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+import xml.sax.saxutils as sx
+from datetime import datetime, timezone
+
+
+def write_consensusreadset(xml_path: str, bam_path: str, n_records: int,
+                           total_length: int, name: str = "ccs_tpu") -> None:
+    created = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    ds_uuid = str(uuid.uuid4())
+    bam_rel = os.path.basename(bam_path)
+    xml = f"""<?xml version="1.0" encoding="utf-8"?>
+<pbds:ConsensusReadSet
+    xmlns:pbbase="http://pacificbiosciences.com/PacBioBaseDataModel.xsd"
+    xmlns:pbds="http://pacificbiosciences.com/PacBioDatasets.xsd"
+    CreatedAt="{created}" MetaType="PacBio.DataSet.ConsensusReadSet"
+    Name="{sx.escape(name)}" Tags="ccs" TimeStampedName="ccs_tpu-{created}"
+    UniqueId="{ds_uuid}" Version="4.0.0">
+  <pbbase:ExternalResources>
+    <pbbase:ExternalResource MetaType="PacBio.ConsensusReadFile.ConsensusReadBamFile"
+        ResourceId="{sx.escape(bam_rel)}" UniqueId="{uuid.uuid4()}">
+      <pbbase:FileIndices>
+        <pbbase:FileIndex MetaType="PacBio.Index.PacBioIndex"
+            ResourceId="{sx.escape(bam_rel)}.pbi" UniqueId="{uuid.uuid4()}"/>
+      </pbbase:FileIndices>
+    </pbbase:ExternalResource>
+  </pbbase:ExternalResources>
+  <pbds:DataSetMetadata>
+    <pbds:TotalLength>{total_length}</pbds:TotalLength>
+    <pbds:NumRecords>{n_records}</pbds:NumRecords>
+  </pbds:DataSetMetadata>
+</pbds:ConsensusReadSet>
+"""
+    with open(xml_path, "w") as fh:
+        fh.write(xml)

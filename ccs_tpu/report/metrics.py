@@ -1,0 +1,67 @@
+"""zmw_metrics.json.gz writer + progress reporting protocol (L4).
+
+- metrics file: one record per input ZMW, schema per
+  /root/reference/docs/faq/reports-aux-files.md:108-173
+- progress: ``Z1/Z2/Z3 C1/C2/C3 ETA`` to stderr every --refresh-rate seconds
+  (reports-aux-files.md:175-192); ETA only when total ZMW count is known
+  (i.e. a .pbi was present)
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import sys
+import time
+from typing import Optional
+
+from ccs_tpu.report.stats import RunStats
+
+
+def write_zmw_metrics(path: str, st: RunStats) -> None:
+    payload = {"zmws": [row.to_json_dict() for row in st.metrics_rows]}
+    with gzip.open(path, "wt") as fh:
+        json.dump(payload, fh, indent=2)
+    # gzip module writes standard gzip; fine for .json.gz consumers
+
+
+class ProgressReporter:
+    def __init__(self, refresh_rate: float = 5.0,
+                 total_zmws: Optional[int] = None,
+                 n_threads: int = 1, stream=None):
+        self.refresh = refresh_rate
+        self.total = total_zmws
+        self.n_threads = max(n_threads, 1)
+        self.stream = stream or sys.stderr
+        self.start = time.time()
+        self.last_emit = self.start
+        self.zmws_done = 0
+        self.ccs_done = 0
+        self._window: list[tuple[float, int, int]] = []  # (t, zmws, ccs)
+
+    def update(self, zmws: int, ccs: int) -> None:
+        self.zmws_done += zmws
+        self.ccs_done += ccs
+        now = time.time()
+        self._window.append((now, self.zmws_done, self.ccs_done))
+        self._window = [w for w in self._window if now - w[0] <= 60.0]
+        if now - self.last_emit >= self.refresh:
+            self.emit()
+            self.last_emit = now
+
+    def emit(self) -> None:
+        now = time.time()
+        if self._window:
+            t0, z0, c0 = self._window[0]
+            z_min = self.zmws_done - z0
+            c_min = self.ccs_done - c0
+        else:
+            z_min = c_min = 0
+        line = (f"{self.zmws_done}/{z_min}/{z_min / self.n_threads:.1f} "
+                f"{self.ccs_done}/{c_min}/{c_min / self.n_threads:.1f}")
+        if self.total and self.zmws_done:
+            rate = self.zmws_done / max(now - self.start, 1e-9)
+            remain = (self.total - self.zmws_done) / max(rate, 1e-9)
+            h, m = int(remain // 3600), int((remain % 3600) // 60)
+            line += f" {h}h {m}m"
+        print(line, file=self.stream, flush=True)
