@@ -68,17 +68,31 @@ def position_tables(tpl: jnp.ndarray, snr_bin: jnp.ndarray, tables: dict):
             jnp.where(valid[..., 0], del_p, 0.0))
 
 
+DELETE_CHAIN_DEPTH = 8  # max modeled run of consecutive deletions per row
+
+
 def _linrec_scan(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve x[j] = a[j] * x[j-1] + b[j] (x[-1]=0) along the last axis."""
-    def combine(l, r):
-        al, bl = l
-        ar, br = r
-        return al * ar, ar * bl + br
-    _, x = jax.lax.associative_scan(combine, (a, b), axis=-1)
+    """Solve x[j] = a[j] * x[j-1] + b[j] (x[-1]=0) along the last axis.
+
+    Expanded to depth ``DELETE_CHAIN_DEPTH``: x[j] = sum_d b[j-d] *
+    prod(a[j-d+1..j]). Deletion probabilities are <~0.1, so truncating runs
+    beyond 8 changes the likelihood by <1e-8 relative — far below the f32
+    noise floor — while lowering to a handful of shifted FMAs instead of an
+    associative-scan tree (large XLA-CPU compile-time win)."""
+    x = b
+    coef = a
+    for d in range(1, DELETE_CHAIN_DEPTH + 1):
+        # shift b right by d along the last axis, weight by running product
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(b[..., :d]), b[..., :-d]], axis=-1)
+        x = x + coef * shifted
+        if d < DELETE_CHAIN_DEPTH:
+            a_shift = jnp.concatenate(
+                [jnp.zeros_like(a[..., :d]), a[..., :-d]], axis=-1)
+            coef = coef * a_shift
     return x
 
 
-@functools.partial(jax.jit, static_argnames=())
 def forward_batch(tpl: jnp.ndarray, tlen: jnp.ndarray, snr_bin: jnp.ndarray,
                   reads: jnp.ndarray, rlens: jnp.ndarray,
                   tables: dict) -> jnp.ndarray:

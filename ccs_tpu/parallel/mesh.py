@@ -1,0 +1,77 @@
+"""Device mesh + sharded polish step (components P1/P2/P5, SURVEY.md §2.2).
+
+The reference's only parallelism is data parallelism over ZMWs (thread pool
+in-node, ``--chunk`` across nodes; /root/reference/docs/faq/parallelize.md:7-29).
+The TPU-native equivalent is a 1-D ``('zmw',)`` mesh: window batches shard
+over it, Arrow parameter tables replicate, and the only collectives are the
+summary-stat reductions at the end (psum over ICI/DCN). ZMWs never
+communicate, so no point-to-point is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ccs_tpu.pipeline.polish import polish_windows_impl
+
+
+def make_zmw_mesh(n_devices: Optional[int] = None,
+                  devices=None) -> Mesh:
+    """1-D data-parallel mesh over ZMWs/windows."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), ("zmw",), devices=np.asarray(devices))
+
+
+def shard_polish_step(mesh: Mesh, tables: dict, max_iters: int = 40):
+    """Build a jitted polish step sharded over the ('zmw',) mesh.
+
+    Inputs shard on their leading window axis; parameter tables replicate.
+    Returns (fn, in_shardings) — fn also psum-reduces per-shard yield
+    statistics (the report all-reduce; SURVEY.md §5 metrics row).
+    """
+    data = NamedSharding(mesh, P("zmw"))
+    repl = NamedSharding(mesh, P())
+
+    def step(tables_arg, tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first):
+        # per-shard local polish: windows never communicate, so each shard
+        # iterates until ITS windows converge (no cross-device lock-step)
+        state, qv, p_err = polish_windows_impl(
+            tpl, tlen, cs, ce, snr_bin, reads, rlens, tables_arg,
+            max_iters=max_iters, is_first=is_first)
+        # global summary counters ride ICI via an explicit psum
+        n_converged = jnp.sum((~state.active).astype(jnp.int32))
+        total_iters = jnp.sum(state.n_iter)
+        yield_bases = jnp.sum(jnp.maximum(state.core_end - state.core_start, 0))
+        stats = jax.lax.psum(
+            jnp.stack([n_converged, total_iters, yield_bases]), "zmw")
+        return state, qv, stats
+
+    smapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(),) + (P("zmw"),) * 8,
+        out_specs=(P("zmw"), P("zmw"), P()),
+        check_vma=False)
+
+    # parameter tables replicate (L1 -> replicated device arrays, SURVEY §1)
+    tables_repl = jax.device_put(tables, jax.tree.map(lambda _: repl, tables))
+    jfn = jax.jit(smapped)
+
+    def fn(*args):
+        return jfn(tables_repl, *args)
+
+    return fn, data
+
+
+def device_put_sharded_batch(mesh: Mesh, arrays: tuple):
+    """Place host window arrays onto the mesh, sharded over axis 0."""
+    data = NamedSharding(mesh, P("zmw"))
+    return tuple(jax.device_put(a, data) for a in arrays)

@@ -37,6 +37,9 @@ class PolishState(NamedTuple):
     ll: jnp.ndarray          # [B] f32 current summed log-likelihood
     active: jnp.ndarray      # [B] bool still improving
     n_iter: jnp.ndarray      # [B] int32 iterations executed
+    mut_lls: jnp.ndarray     # [B, M] f32 mutation scores of the last-scored
+                             # template (== final template at convergence;
+                             # reused for QV so the scoring graph exists once)
 
 
 def make_mutants(tpl: jnp.ndarray, tlen: jnp.ndarray):
@@ -201,10 +204,9 @@ def apply_mutation(tpl, tlen, core_start, core_end, mut_id, is_first=None):
     return out, new_tlen, new_cs, new_ce
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "m_chunk"))
-def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
-                   tables, max_iters: int = 40, m_chunk: int = 32,
-                   is_first=None):
+def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
+                        tables, max_iters: int = 40, m_chunk: int = 32,
+                        is_first=None):
     """Iterate best-mutation steps until convergence (all windows, lock-step).
 
     ``is_first``: bool [B], True for the globally-first window of each ZMW.
@@ -214,9 +216,12 @@ def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
         is_first = jnp.zeros(tpl.shape[0], dtype=bool)
     ll0 = forward_batch(tpl, tlen, snr_bin, reads, rlens, tables).sum(-1)
     has_cov = (rlens >= 0).any(-1)
+    B, T = tpl.shape
+    M = MUTS_PER_POS * T + 4
     state = PolishState(tpl, tlen.astype(jnp.int32), core_start.astype(jnp.int32),
                         core_end.astype(jnp.int32), ll0,
-                        active=has_cov, n_iter=jnp.zeros(tpl.shape[0], jnp.int32))
+                        active=has_cov, n_iter=jnp.zeros(B, jnp.int32),
+                        mut_lls=jnp.full((B, M), NEG, jnp.float32))
 
     def cond(state):
         return state.active.any() & (state.n_iter.max() < max_iters)
@@ -240,16 +245,17 @@ def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
             ll=jnp.where(improved, best_ll, state.ll),
             active=improved,
             n_iter=state.n_iter + state.active.astype(jnp.int32),
+            # keep the scores of the template they were computed FOR: on the
+            # final (non-improving) iteration these describe the final
+            # template, which is exactly what QV needs
+            mut_lls=jnp.where(sel, state.mut_lls, lls),
         )
 
     state = jax.lax.while_loop(cond, body, state)
 
-    # --- QV pass: substitution + deletion scores at every position ---
-    mut_tpl, mut_tlen, valid = make_mutants(state.tpl, state.tlen)
-    lls = score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens,
-                        tables, m_chunk=m_chunk)
-    B, T = tpl.shape
-    delta = (lls[:, :MUTS_PER_POS * T] - state.ll[:, None]).reshape(B, T, MUTS_PER_POS)
+    # --- QV from the last-scored mutation set (sub + del, kinds 0..3) ---
+    delta = (state.mut_lls[:, :MUTS_PER_POS * T]
+             - state.ll[:, None]).reshape(B, T, MUTS_PER_POS)
     # per-base alternatives: 3 subs + deletion (kinds 0..3)
     alt = jnp.where(jnp.isfinite(delta[..., :4]) & (delta[..., :4] > NEG / 2),
                     delta[..., :4], NEG)
@@ -259,3 +265,7 @@ def polish_windows(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
     qv = -10.0 * jnp.log10(jnp.maximum(p_err, 1e-9))
     qv = jnp.clip(qv, 0.0, 93.0)
     return state, qv, p_err
+
+
+polish_windows = jax.jit(polish_windows_impl,
+                         static_argnames=("max_iters", "m_chunk"))

@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize registers the TPU tunnel and overrides
+# jax_platforms at import time — env alone is NOT enough; force it back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: first runs compile (~minutes on 2 CPUs),
 # subsequent test runs reuse the compiled executables.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
