@@ -106,14 +106,17 @@ def build_window_batch(draft: np.ndarray,
                        rpos_list: list[np.ndarray],
                        reads: list[np.ndarray],
                        full_length: list[bool],
-                       t_cap: int = 32, r_cap: int = 48, c_cap: int = 32,
-                       size: int = 22, overlap: int = 2) -> WindowBatch:
+                       t_cap: int = 48, r_cap: int = 56, c_cap: int = 32,
+                       size: int = 22, overlap: int = 4,
+                       max_insertion_size: int = 30) -> WindowBatch:
     """Slice every mapped subread into every window.
 
     ``rpos_list[s][j]`` = read coordinate of subread s at draft position j
     (from its alignment to the draft, or interpolated from anchors).
-    Slices longer than r_cap are truncated (large spurious insertions are
-    trimmed anyway, how-does-ccs-work.md:74-78).
+    Component C6 (how-does-ccs-work.md:74-78): a slice carrying an insertion
+    larger than ``max_insertion_size`` relative to the window is spurious
+    sequencing activity that confounds window polishing — that lane is
+    dropped for that window instead of feeding a wrong global alignment.
     """
     wins = cut_windows(draft, size=size, overlap=overlap)
     W = len(wins)
@@ -145,6 +148,9 @@ def build_window_batch(draft: np.ndarray,
             lo, hi = int(rpos[win.ext_a]), int(rpos[win.ext_b])
             if hi <= lo:
                 continue  # subread does not span this window
+            win_len = win.ext_b - win.ext_a
+            if hi - lo > win_len + max_insertion_size:
+                continue  # large-insertion trim (C6)
             piece = reads[s][lo:hi][:r_cap]
             out_reads[w, lane, :len(piece)] = piece
             rlens[w, lane] = len(piece)

@@ -22,7 +22,9 @@ import numpy as np
 from ccs_tpu.config import CcsConfig
 from ccs_tpu.ops import dna
 from ccs_tpu.ops.align import anchor_chain, guided_align, interp_read_pos
+from ccs_tpu.ops.sdust import has_long_tandem_repeat
 from ccs_tpu.pipeline.draft import generate_draft
+from ccs_tpu.pipeline.heteroduplex import detect_heteroduplex
 from ccs_tpu.pipeline.windows import WindowBatch, build_window_batch
 from ccs_tpu.statuses import ZmwStatus
 
@@ -151,6 +153,11 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         return fail(ZmwStatus.DRAFT_FAILURE)
     draft = dr.draft
     res.insert_size = len(draft)
+
+    # 0. tandem-repeat test on the draft (low-complexity.md:12-18); flagged
+    # ZMWs implicitly run with heuristics disabled
+    if has_long_tandem_repeat(draft, cfg.min_tandem_repeat_length):
+        res.has_tandem_repeat = True
     if cfg.max_length > 0 and len(draft) > cfg.max_length:
         return fail(ZmwStatus.TOO_LONG)
     if len(draft) < cfg.min_length:
@@ -193,6 +200,12 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     if spans < max(cfg.min_passes, 1):
         return fail(ZmwStatus.INSUFFICIENT_SPANS)
 
+    # 5. heteroduplex scan (how-does-ccs-work.md:65-72): >20bp single-strand
+    # difference fails the ZMW (default mode; --hd-finder splits instead)
+    if not cfg.by_strand and detect_heteroduplex(
+            rpos_list, dr.strands, T, cfg.heteroduplex_min_len):
+        return fail(ZmwStatus.HETERODUPLEXES)
+
     oriented = [dna.revcomp(s.seq) if strand else s.seq
                 for s, strand in zip(subs, dr.strands)]
 
@@ -201,7 +214,8 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         draft, rpos_list, oriented, [s.full_length for s in subs],
         t_cap=cfg.tpu_window_tpl_cap, r_cap=cfg.tpu_window_read_cap,
         c_cap=cfg.tpu_window_coverage_cap,
-        size=cfg.window_size, overlap=cfg.window_overlap)
+        size=cfg.window_size, overlap=cfg.window_overlap,
+        max_insertion_size=cfg.max_insertion_size)
     if len(batch.windows) == 0:
         return fail(ZmwStatus.DRAFT_FAILURE)
 
