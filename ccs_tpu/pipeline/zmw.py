@@ -141,7 +141,19 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
 
     # full-length pass count (how-does-ccs-work.md:25)
     n_fl = sum(1 for s in subs if s.full_length)
-    if n_fl < max(cfg.min_passes, 1):
+    if cfg.mode_all and n_fl < 2:
+        # --all exception 1 (mode-all.md:19-24): emit the median-length
+        # subread unpolished, no polishing
+        lengths = np.asarray([len(s.seq) for s in subs])
+        rep = subs[int(np.argsort(lengths, kind="stable")[len(subs) // 2])]
+        res.status = ZmwStatus.LOW_PASS_SHORTCUT
+        res.seq = rep.seq.copy()
+        res.qv = np.full(len(rep.seq), 10.0, np.float32)  # '+' = QV10
+        res.rq = -1.0
+        res.num_passes = n_fl
+        res.insert_size = len(rep.seq)
+        return ZmwWorkItem(zmw, res, None)
+    if n_fl < max(cfg.min_passes, 1 if not cfg.mode_all else 0):
         return fail(ZmwStatus.TOO_FEW_PASSES)
 
     # 1b. --top-passes cap
@@ -163,11 +175,28 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     if len(draft) < cfg.min_length:
         return fail(ZmwStatus.TOO_SHORT)
 
+    fl_mapped = sum(1 for s, m in zip(subs, dr.mapped) if m and s.full_length)
+    if cfg.mode_all and fl_mapped < 2:
+        # --all exception 2/3 (mode-all.md:26-37): emit the unpolished draft
+        # (or a representative subread with --subread-fallback) with rq=-1
+        # and QV10 bases
+        if cfg.subread_fallback:
+            lengths = np.asarray([len(s.seq) for s in subs])
+            rep_seq = subs[int(np.argsort(lengths, kind="stable")[len(subs) // 2])].seq.copy()
+        else:
+            rep_seq = draft.copy()
+        res.status = ZmwStatus.SUCCESS
+        res.seq = rep_seq
+        res.qv = np.full(len(rep_seq), 10.0, np.float32)
+        res.rq = -1.0
+        res.num_passes = n_fl
+        res.insert_size = len(rep_seq)
+        return ZmwWorkItem(zmw, res, None)
+
     # draft acceptance: >50% of subreads must align back
     # (accuracy-vs-passes.md:31-39)
     if dr.n_mapped * 2 <= len(subs):
         return fail(ZmwStatus.DRAFT_FAILURE)
-    fl_mapped = sum(1 for s, m in zip(subs, dr.mapped) if m and s.full_length)
     if fl_mapped < max(cfg.min_passes, 1):
         return fail(ZmwStatus.TOO_FEW_PASSES_AFTER_DRAFT_ALIGNMENT)
 

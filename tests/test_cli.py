@@ -85,6 +85,24 @@ class TestCli:
             full_names = {rec.name for rec in r}
         assert all_names == full_names
 
+    def test_mode_all(self, subreads_bam, tmp_path):
+        """--all: one representative read per productive ZMW (mode-all.md)."""
+        in_bam, zmws = subreads_bam
+        out_bam = str(tmp_path / "all.bam")
+        rc = run([in_bam, out_bam, "--all", "--suppress-reports"])
+        assert rc == 0
+        with BamReader(out_bam) as r:
+            recs = {int(rec.name.split("/")[1]): rec for rec in r}
+        # every ZMW except the SNR-failed one (hole 4) gets a read
+        assert sorted(recs) == [0, 1, 2, 3, 5]
+        # hole 2 (2 full passes -> <2 FL after alignment or low-pass path)
+        # must be present; unpolished paths carry rq == -1 and QV10 bases
+        for hole, rec in recs.items():
+            rq = rec.tag("rq")
+            assert rq is not None
+            if rq < 0:
+                assert set(np.unique(rec.qual)) == {10}
+
     def test_fastq_output(self, subreads_bam, tmp_path):
         in_bam, _ = subreads_bam
         out_fq = str(tmp_path / "out.fastq.gz")
