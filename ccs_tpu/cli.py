@@ -160,6 +160,23 @@ def result_to_record(res: ConsensusResult, rg_id: str) -> BamRecord:
     rec.set_tag("zm", "i", int(res.hole))
     if res.snr is not None:
         rec.set_tag("sn", "B", np.asarray(res.snr, np.float32), "f")
+    if res.kinetics is not None:
+        k = res.kinetics
+        if res.strand:
+            # single-strand read: native pw/ip tags (kinetics.md:27-31)
+            rec.set_tag("ip", "B", k.fi, "C")
+            rec.set_tag("pw", "B", k.fp, "C")
+        else:
+            rec.set_tag("fi", "B", k.fi, "C")
+            rec.set_tag("fp", "B", k.fp, "C")
+            rec.set_tag("fn", "i", int(k.fn))
+            rec.set_tag("ri", "B", k.ri, "C")
+            rec.set_tag("rp", "B", k.rp, "C")
+            rec.set_tag("rn", "i", int(k.rn))
+    elif res.sub_kinetics is not None:
+        ip, pw = res.sub_kinetics
+        rec.set_tag("ip", "B", ip, "C")
+        rec.set_tag("pw", "B", pw, "C")
     rec.set_tag("RG", "Z", rg_id.encode())
     return rec
 

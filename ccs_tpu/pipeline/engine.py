@@ -45,16 +45,30 @@ class CcsEngine:
         self.tables = hmm_jax.params_to_device(self.params)
 
     def process_batch(self, zmws: Sequence[ZmwInput]) -> list[ConsensusResult]:
-        """Process a batch of ZMWs end to end. Order-preserving."""
-        items: list[ZmwWorkItem] = []
+        """Process a batch of ZMWs end to end. Order-preserving. In
+        --by-strand mode each input ZMW yields up to two results
+        (/fwd and /rev; mode-by-strand.md:7-23)."""
+        work: list[tuple[ZmwInput, str]] = []
         for z in zmws:
+            if self.cfg.by_strand:
+                from ccs_tpu.pipeline.zmw import split_by_strand
+                f, r = split_by_strand(z)
+                work.append((f, "fwd"))
+                work.append((r, "rev"))
+            else:
+                work.append((z, ""))
+
+        items: list[ZmwWorkItem] = []
+        for z, strand in work:
             try:
-                items.append(prepare_zmw(z, self.cfg, self.params.snr_edges))
+                item = prepare_zmw(z, self.cfg, self.params.snr_edges)
             except Exception:  # noqa: BLE001 — failures are data (SURVEY §5)
                 logger.exception("prepare failed for ZMW %s", z.hole)
                 res = ConsensusResult(hole=z.hole, movie=z.movie,
                                       status=ZmwStatus.EXCEPTION_THROWN)
-                items.append(ZmwWorkItem(z, res, None))
+                item = ZmwWorkItem(z, res, None)
+            item.result.strand = strand
+            items.append(item)
 
         live = [it for it in items if not it.terminal]
         if live:

@@ -25,6 +25,7 @@ from ccs_tpu.ops.align import anchor_chain, guided_align, interp_read_pos
 from ccs_tpu.ops.sdust import has_long_tandem_repeat
 from ccs_tpu.pipeline.draft import generate_draft
 from ccs_tpu.pipeline.heteroduplex import detect_heteroduplex
+from ccs_tpu.pipeline.kinetics import KineticsEntry, KineticsResult
 from ccs_tpu.pipeline.windows import WindowBatch, build_window_batch
 from ccs_tpu.statuses import ZmwStatus
 
@@ -74,6 +75,8 @@ class ConsensusResult:
     wall_end: int = 0
     n_windows: int = 0
     converged: bool = True
+    kinetics: Optional[KineticsResult] = None       # fi/fp/fn/ri/rp/rn (C14)
+    sub_kinetics: Optional[tuple] = None            # (ip, pw) for subread reps
 
 
 @dataclasses.dataclass
@@ -83,10 +86,31 @@ class ZmwWorkItem:
     result: ConsensusResult               # pre-filled metadata / terminal status
     batch: Optional[WindowBatch] = None   # None => terminal before polish
     snr_bin: int = 0
+    kin_entries: Optional[list] = None    # KineticsEntry list (C14), if requested
 
     @property
     def terminal(self) -> bool:
         return self.batch is None
+
+
+def split_by_strand(zmw: ZmwInput) -> tuple[ZmwInput, ZmwInput]:
+    """--by-strand (mode-by-strand.md:16-23): orient subreads against the
+    median-length read, bucket into fwd/rev, each strand runs the full
+    pipeline independently."""
+    from ccs_tpu.pipeline.draft import infer_orientation
+
+    subs = zmw.subreads
+    if not subs:
+        return (ZmwInput(zmw.hole, zmw.movie, [], zmw.snr),
+                ZmwInput(zmw.hole, zmw.movie, [], zmw.snr))
+    lengths = np.asarray([len(s.seq) for s in subs])
+    ref = subs[int(np.argsort(lengths, kind="stable")[len(subs) // 2])].seq
+    fwd, rev = [], []
+    for s in subs:
+        strand, _ = infer_orientation(s.seq, ref)
+        (fwd if strand == 0 else rev).append(s)
+    return (ZmwInput(zmw.hole, zmw.movie, fwd, zmw.snr),
+            ZmwInput(zmw.hole, zmw.movie, rev, zmw.snr))
 
 
 def median_length_filter(subreads: list[Subread]) -> list[int]:
@@ -152,6 +176,8 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         res.rq = -1.0
         res.num_passes = n_fl
         res.insert_size = len(rep.seq)
+        if (cfg.hifi_kinetics or cfg.all_kinetics) and rep.ipd is not None:
+            res.sub_kinetics = (rep.ipd, rep.pw)
         return ZmwWorkItem(zmw, res, None)
     if n_fl < max(cfg.min_passes, 1 if not cfg.mode_all else 0):
         return fail(ZmwStatus.TOO_FEW_PASSES)
@@ -182,7 +208,10 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         # and QV10 bases
         if cfg.subread_fallback:
             lengths = np.asarray([len(s.seq) for s in subs])
-            rep_seq = subs[int(np.argsort(lengths, kind="stable")[len(subs) // 2])].seq.copy()
+            rep = subs[int(np.argsort(lengths, kind="stable")[len(subs) // 2])]
+            rep_seq = rep.seq.copy()
+            if (cfg.hifi_kinetics or cfg.all_kinetics) and rep.ipd is not None:
+                res.sub_kinetics = (rep.ipd, rep.pw)
         else:
             rep_seq = draft.copy()
         res.status = ZmwStatus.SUCCESS
@@ -264,7 +293,13 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     res.n_windows = len(batch.windows)
 
     snr_bin = int(np.searchsorted(params_snr_edges, float(np.mean(zmw.snr))))
-    return ZmwWorkItem(zmw, res, batch, snr_bin)
+    item = ZmwWorkItem(zmw, res, batch, snr_bin)
+    if cfg.hifi_kinetics or cfg.all_kinetics:
+        item.kin_entries = [
+            KineticsEntry(read=s.seq, ipd=s.ipd, pw=s.pw, strand=strand,
+                          full_length=s.full_length)
+            for s, strand, m in zip(subs, dr.strands, dr.mapped) if m]
+    return item
 
 
 def finalize_zmw(item: ZmwWorkItem, tpl: np.ndarray, tlen: np.ndarray,
@@ -300,4 +335,7 @@ def finalize_zmw(item: ZmwWorkItem, tpl: np.ndarray, tlen: np.ndarray,
         # reference still reports insert_size etc. for failed ZMWs
         return res
     res.status = ZmwStatus.SUCCESS
+    if item.kin_entries:
+        from ccs_tpu.pipeline.kinetics import average_kinetics
+        res.kinetics = average_kinetics(seq, item.kin_entries)
     return res
