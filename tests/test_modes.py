@@ -34,7 +34,7 @@ class TestByStrand:
     def test_two_reads_per_zmw(self):
         # per-strand coverage is half the ZMW's passes, so a 10-pass ZMW
         # gives ~5 per strand -> rq just below Q20; relax the gate
-        z = simulate_zmw(hole=7, insert_len=250, n_passes=10, snr=9.0)
+        z = simulate_zmw(hole=7, insert_len=250, n_passes=16, snr=9.0)
         engine = CcsEngine(CcsConfig(by_strand=True, min_passes=3,
                                      min_rq=0.95))
         results = engine.process_batch([zmw_input_from_sim(z)])
