@@ -55,9 +55,10 @@ class TestByStrand:
     def test_cli_by_strand_names(self, tmp_path):
         in_bam = str(tmp_path / "in.bam")
         write_subreads_bam(in_bam, [simulate_zmw(hole=3, insert_len=200,
-                                                 n_passes=8, snr=9.0)])
+                                                 n_passes=16, snr=9.0)])
         out_bam = str(tmp_path / "out.bam")
-        rc = run([in_bam, out_bam, "--by-strand", "--suppress-reports"])
+        rc = run([in_bam, out_bam, "--by-strand", "--min-rq", "0.9",
+                  "--suppress-reports"])
         assert rc == 0
         with BamReader(out_bam) as r:
             names = [rec.name for rec in r]
