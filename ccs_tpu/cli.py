@@ -160,6 +160,9 @@ def result_to_record(res: ConsensusResult, rg_id: str) -> BamRecord:
     rec.set_tag("zm", "i", int(res.hole))
     if res.snr is not None:
         rec.set_tag("sn", "B", np.asarray(res.snr, np.float32), "f")
+    if res.adapter_info is not None:
+        rec.set_tag("ac", "B", res.adapter_info.ac, "i")
+        rec.set_tag("ma", "i", int(res.adapter_info.ma))
     if res.kinetics is not None:
         k = res.kinetics
         if res.strand:

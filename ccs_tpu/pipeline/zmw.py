@@ -25,6 +25,11 @@ from ccs_tpu.ops.align import anchor_chain, guided_align, interp_read_pos
 from ccs_tpu.ops.sdust import has_long_tandem_repeat
 from ccs_tpu.pipeline.draft import generate_draft
 from ccs_tpu.pipeline.heteroduplex import detect_heteroduplex
+from ccs_tpu.pipeline.adapters import (AdapterInfo, adapter_counts,
+                                       classify_adapter_artifacts,
+                                       FF_ADAPTER_CONCAT,
+                                       FF_ADAPTER_PALINDROME,
+                                       FF_ADAPTER_RESIDUE)
 from ccs_tpu.pipeline.kinetics import KineticsEntry, KineticsResult
 from ccs_tpu.pipeline.windows import WindowBatch, build_window_batch
 from ccs_tpu.statuses import ZmwStatus
@@ -77,6 +82,7 @@ class ConsensusResult:
     converged: bool = True
     kinetics: Optional[KineticsResult] = None       # fi/fp/fn/ri/rp/rn (C14)
     sub_kinetics: Optional[tuple] = None            # (ip, pw) for subread reps
+    adapter_info: Optional[AdapterInfo] = None      # ma/ac tags (C15)
 
 
 @dataclasses.dataclass
@@ -196,6 +202,9 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     # ZMWs implicitly run with heuristics disabled
     if has_long_tandem_repeat(draft, cfg.min_tandem_repeat_length):
         res.has_tandem_repeat = True
+
+    # ma/ac adapter evidence (missing-adapters.md:7-28)
+    res.adapter_info = adapter_counts([s.cx for s in subs], dr.strands)
     if cfg.max_length > 0 and len(draft) > cfg.max_length:
         return fail(ZmwStatus.TOO_LONG)
     if len(draft) < cfg.min_length:
@@ -330,6 +339,17 @@ def finalize_zmw(item: ZmwWorkItem, tpl: np.ndarray, tlen: np.ndarray,
     res.qv = qvs
     res.rq = rq
     res.insert_size = len(seq)
+    # adapter artifact classes fail the read (fail-reads.md, C15)
+    art = classify_adapter_artifacts(seq)
+    if art & FF_ADAPTER_CONCAT:
+        res.status = ZmwStatus.ADAPTER_CONCATENATION
+        return res
+    if art & FF_ADAPTER_PALINDROME:
+        res.status = ZmwStatus.ADAPTER_PALINDROME
+        return res
+    if art & FF_ADAPTER_RESIDUE:
+        res.status = ZmwStatus.ADAPTER_RESIDUE
+        return res
     if rq < cfg.min_rq:
         res.status = ZmwStatus.POOR_QUALITY
         # reference still reports insert_size etc. for failed ZMWs

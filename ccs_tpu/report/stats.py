@@ -77,6 +77,8 @@ class RunStats:
             self.n_tandem += 1
         if res.status in (ZmwStatus.SUCCESS, ZmwStatus.LOW_PASS_SHORTCUT) \
                 and res.seq is not None:
+            if res.adapter_info is not None and res.adapter_info.ma:
+                self.n_missing_adapters += 1
             self.read_lengths.append(len(res.seq))
             self.read_rqs.append(res.rq)
             self.strands.append(res.strand)
