@@ -147,8 +147,12 @@ def iter_zmws(reader: BamReader, movie: str,
         yield ZmwInput(cur_hole, movie, cur_subs, cur_snr)
 
 
-def result_to_record(res: ConsensusResult, rg_id: str) -> BamRecord:
-    """HiFi BAM record with the documented tag set (bam-output.md:7-30)."""
+def result_to_record(res: ConsensusResult, rg_ids: dict[str, str]) -> BamRecord:
+    """HiFi BAM record with the documented tag set (bam-output.md:7-30).
+
+    ``rg_ids`` maps strand ("", "fwd", "rev") to read-group ID — three read
+    groups in --hd-finder mode (mode-heteroduplex-filtering.md:41-51)."""
+    rg_id = rg_ids.get(res.strand, rg_ids.get("", "ccstpu01"))
     name = f"{res.movie}/{res.hole}/ccs"
     if res.strand:
         name += f"/{res.strand}"
@@ -244,12 +248,21 @@ def run(argv: Optional[list[str]] = None) -> int:
         cfg.refresh_rate if level <= logging.INFO else 1e12,
         total_zmws, max(cfg.num_threads, 1))
 
-    rg_id = "ccstpu01"
-    read_groups = [{
-        "ID": rg_id, "PL": "PACBIO", "PU": movie,
-        "DS": "READTYPE=CCS;" + ";".join(
-            f"{k}={v}" for k, v in chemistry.items()),
-    }]
+    chem_ds = ";".join(f"{k}={v}" for k, v in chemistry.items())
+    rg_ids: dict[str, str] = {}
+    read_groups = []
+    if not cfg.by_strand:
+        rg_ids[""] = "ccstpu01"
+        read_groups.append({"ID": "ccstpu01", "PL": "PACBIO", "PU": movie,
+                            "DS": f"READTYPE=CCS;{chem_ds}"})
+    if cfg.by_strand or cfg.hd_finder:
+        # single-strand read groups (mode-heteroduplex-filtering.md:41-51)
+        rg_ids["fwd"] = "ccstpu02"
+        rg_ids["rev"] = "ccstpu03"
+        read_groups.append({"ID": "ccstpu02", "PL": "PACBIO", "PU": movie,
+                            "DS": f"READTYPE=CCS;STRAND=FORWARD;{chem_ds}"})
+        read_groups.append({"ID": "ccstpu03", "PL": "PACBIO", "PU": movie,
+                            "DS": f"READTYPE=CCS;STRAND=REVERSE;{chem_ds}"})
     header = make_ccs_header(movie, read_groups,
                              program_args=" ".join(argv or sys.argv[1:]),
                              version=__version__)
@@ -271,7 +284,7 @@ def run(argv: Optional[list[str]] = None) -> int:
             if res.status in (ZmwStatus.SUCCESS, ZmwStatus.LOW_PASS_SHORTCUT) \
                     and res.seq is not None:
                 n_ccs += 1
-                rec = result_to_record(res, rg_id)
+                rec = result_to_record(res, rg_ids)
                 if bam_writer:
                     voff = bam_writer.write_record(rec)
                     written_records.append(rec)

@@ -67,6 +67,25 @@ class CcsEngine:
                 res = ConsensusResult(hole=z.hole, movie=z.movie,
                                       status=ZmwStatus.EXCEPTION_THROWN)
                 item = ZmwWorkItem(z, res, None)
+            if (self.cfg.hd_finder and not strand
+                    and item.result.status == ZmwStatus.HETERODUPLEXES):
+                # --hd-finder: split the heteroduplex ZMW on the fly into
+                # single-strand runs (mode-heteroduplex-filtering.md:25-39)
+                from ccs_tpu.pipeline.zmw import split_by_strand
+                import dataclasses as _dc
+                ss_cfg = _dc.replace(self.cfg, by_strand=True, hd_finder=False)
+                for zz, ss in zip(split_by_strand(z), ("fwd", "rev")):
+                    try:
+                        ss_item = prepare_zmw(zz, ss_cfg, self.params.snr_edges)
+                    except Exception:  # noqa: BLE001
+                        logger.exception("ss prepare failed for ZMW %s", z.hole)
+                        ss_res = ConsensusResult(
+                            hole=z.hole, movie=z.movie,
+                            status=ZmwStatus.EXCEPTION_THROWN)
+                        ss_item = ZmwWorkItem(zz, ss_res, None)
+                    ss_item.result.strand = ss
+                    items.append(ss_item)
+                continue
             item.result.strand = strand
             items.append(item)
 

@@ -20,7 +20,10 @@ from typing import Optional, Sequence
 import numpy as np
 
 PROBE_STEP = 8     # draft positions between probes
-PROBE_SPAN = 24    # span length (draft bases) measured at each probe
+# span must exceed the detection threshold (~21bp) plus the event size the
+# draft may absorb; a span shorter than the event saturates the measured
+# difference below threshold
+PROBE_SPAN = 64
 
 
 def strand_span_difference(rpos_list: Sequence[Optional[np.ndarray]],
@@ -58,3 +61,51 @@ def detect_heteroduplex(rpos_list: Sequence[Optional[np.ndarray]],
     if len(diff) == 0:
         return False
     return bool(np.max(diff) >= min_len)
+
+
+def detect_heteroduplex_pileup(draft: np.ndarray,
+                               oriented_reads: Sequence[np.ndarray],
+                               strands: Sequence[int],
+                               p_threshold: float = 1e-3,
+                               min_sites: int = 1) -> bool:
+    """--hd-finder substitution detector (mode-heteroduplex-filtering.md:25-31):
+    align subreads to the draft, build a strand-split pileup, and use
+    Fisher's exact test to find substitution sites with significant strand
+    bias (each strand agreeing internally on a different base)."""
+    from scipy.stats import fisher_exact
+    from ccs_tpu.ops.align import guided_align
+
+    T = len(draft)
+    counts = np.zeros((2, T, 4), dtype=np.int64)  # [strand, pos, base]
+    for read, strand in zip(oriented_reads, strands):
+        aln = guided_align(read, draft, sub_cost=3, gap_cost=2)
+        if aln is None:
+            continue
+        i = j = 0
+        for length, op in aln.cigar:
+            if op == "M":
+                idx = np.arange(length)
+                counts[strand, j + idx, np.clip(read[i + idx], 0, 3)] += 1
+                i += length
+                j += length
+            elif op == "D":
+                j += length
+            else:
+                i += length
+    cov = counts.sum(axis=2)             # [2, T]
+    if cov[0].max() == 0 or cov[1].max() == 0:
+        return False
+    maj = counts.argmax(axis=2)          # [2, T]
+    # candidate sites: both strands covered >=3 and majority bases differ
+    cand = (cov[0] >= 3) & (cov[1] >= 3) & (maj[0] != maj[1])
+    n_sites = 0
+    for j in np.nonzero(cand)[0]:
+        b0, b1 = maj[0, j], maj[1, j]
+        table = [[counts[0, j, b0], counts[0, j, b1]],
+                 [counts[1, j, b0], counts[1, j, b1]]]
+        _, p = fisher_exact(table)
+        if p < p_threshold:
+            n_sites += 1
+            if n_sites >= min_sites:
+                return True
+    return False

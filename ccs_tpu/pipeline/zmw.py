@@ -24,7 +24,8 @@ from ccs_tpu.ops import dna
 from ccs_tpu.ops.align import anchor_chain, guided_align, interp_read_pos
 from ccs_tpu.ops.sdust import has_long_tandem_repeat
 from ccs_tpu.pipeline.draft import generate_draft
-from ccs_tpu.pipeline.heteroduplex import detect_heteroduplex
+from ccs_tpu.pipeline.heteroduplex import (detect_heteroduplex,
+                                           detect_heteroduplex_pileup)
 from ccs_tpu.pipeline.adapters import (AdapterInfo, adapter_counts,
                                        classify_adapter_artifacts,
                                        FF_ADAPTER_CONCAT,
@@ -268,10 +269,18 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         return fail(ZmwStatus.INSUFFICIENT_SPANS)
 
     # 5. heteroduplex scan (how-does-ccs-work.md:65-72): >20bp single-strand
-    # difference fails the ZMW (default mode; --hd-finder splits instead)
-    if not cfg.by_strand and detect_heteroduplex(
-            rpos_list, dr.strands, T, cfg.heteroduplex_min_len):
-        return fail(ZmwStatus.HETERODUPLEXES)
+    # difference fails the ZMW (default mode); --hd-finder additionally runs
+    # the pileup + Fisher substitution detector and the engine splits the
+    # flagged ZMW into the by-strand path instead of failing it
+    if not cfg.by_strand:
+        hd = detect_heteroduplex(rpos_list, dr.strands, T,
+                                 cfg.heteroduplex_min_len)
+        if not hd and cfg.hd_finder:
+            oriented_probe = [dna.revcomp(s.seq) if strand else s.seq
+                              for s, strand in zip(subs, dr.strands)]
+            hd = detect_heteroduplex_pileup(draft, oriented_probe, dr.strands)
+        if hd:
+            return fail(ZmwStatus.HETERODUPLEXES)
 
     oriented = [dna.revcomp(s.seq) if strand else s.seq
                 for s, strand in zip(subs, dr.strands)]

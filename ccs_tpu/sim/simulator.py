@@ -87,6 +87,33 @@ def simulate_zmw(hole: int, insert_len: int, n_passes: int,
                   strands=strands, cx=cxs, snr=snr_arr)
 
 
+def simulate_heteroduplex_zmw(hole: int, insert_len: int, n_passes: int,
+                              ins_len: int = 30,
+                              params: Optional[ArrowParams] = None,
+                              rng: Optional[np.random.Generator] = None,
+                              snr: float = 8.0) -> SimZmw:
+    """A heteroduplex molecule: the reverse strand carries an extra
+    ``ins_len``-bp insertion the forward strand lacks
+    (how-does-ccs-work.md:65-72)."""
+    params = params or default_params()
+    rng = rng or np.random.default_rng(hole)
+    insert_f = rng.integers(0, 4, insert_len).astype(np.int8)
+    mid = insert_len // 2
+    extra = rng.integers(0, 4, ins_len).astype(np.int8)
+    insert_r_template = np.concatenate([insert_f[:mid], extra, insert_f[mid:]])
+    snr_arr = np.asarray([snr] * 4, dtype=np.float32)
+    snr_bin = int(params.snr_bin(snr))
+    subreads, strands, cxs = [], [], []
+    for p in range(n_passes):
+        strand = p % 2
+        tpl = insert_f if strand == 0 else dna.revcomp(insert_r_template)
+        subreads.append(simulate_read(tpl, params, snr_bin, rng))
+        strands.append(strand)
+        cxs.append(CX_FULL)
+    return SimZmw(hole=hole, insert=insert_f, subreads=subreads,
+                  strands=strands, cx=cxs, snr=snr_arr)
+
+
 def make_subreads_header(movie: str = "m00001_260817_000000") -> BamHeader:
     ds = ("READTYPE=SUBREAD;BINDINGKIT=101-894-200;SEQUENCINGKIT=101-826-100;"
           "BASECALLERVERSION=5.0.0;FRAMERATEHZ=100.0")

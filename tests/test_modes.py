@@ -66,6 +66,38 @@ class TestByStrand:
         assert any(n.endswith("/ccs/rev") for n in names)
 
 
+class TestHdFinder:
+    def test_heteroduplex_fails_by_default(self):
+        from ccs_tpu.sim.simulator import simulate_heteroduplex_zmw
+        z = simulate_heteroduplex_zmw(hole=11, insert_len=400, n_passes=12,
+                                      ins_len=40, snr=9.0)
+        engine = CcsEngine(CcsConfig())
+        res = engine.process_batch([zmw_input_from_sim(z)])
+        assert res[0].status == ZmwStatus.HETERODUPLEXES
+
+    def test_hd_finder_splits_to_single_strand(self):
+        from ccs_tpu.sim.simulator import simulate_heteroduplex_zmw
+        z = simulate_heteroduplex_zmw(hole=11, insert_len=400, n_passes=12,
+                                      ins_len=40, snr=9.0)
+        engine = CcsEngine(CcsConfig(hd_finder=True, min_rq=0.9))
+        results = engine.process_batch([zmw_input_from_sim(z)])
+        assert len(results) == 2
+        assert {r.strand for r in results} == {"fwd", "rev"}
+        ok = [r for r in results if r.status == ZmwStatus.SUCCESS]
+        assert len(ok) == 2, [r.status.name for r in results]
+        # the strand reads should differ in length by ~the heteroduplex insert
+        la, lb = sorted(len(r.seq) for r in ok)
+        assert 25 <= lb - la <= 55, (la, lb)
+
+    def test_normal_zmw_not_split(self):
+        z = simulate_zmw(hole=5, insert_len=300, n_passes=10, snr=9.0)
+        engine = CcsEngine(CcsConfig(hd_finder=True))
+        results = engine.process_batch([zmw_input_from_sim(z)])
+        assert len(results) == 1
+        assert results[0].status == ZmwStatus.SUCCESS
+        assert results[0].strand == ""
+
+
 class TestKinetics:
     def test_hifi_kinetics_tags(self, tmp_path):
         in_bam = str(tmp_path / "in.bam")
