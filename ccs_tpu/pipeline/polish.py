@@ -146,6 +146,18 @@ def score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens, tables,
     return jnp.where(valid, lls, NEG)
 
 
+def mutation_valid(tlen, T: int):
+    """Validity mask of make_mutants' enumeration without building mutants."""
+    m = jnp.arange(MUTS_PER_POS * T)
+    pos, kind = m // MUTS_PER_POS, m % MUTS_PER_POS
+    tl = tlen[:, None]
+    valid = pos[None, :] < tl
+    valid &= jnp.where(kind[None, :] == 3, tl > 1, True)
+    valid &= jnp.where(kind[None, :] >= 4, tl < T, True)
+    pre_valid = jnp.broadcast_to((tlen < T)[:, None], (tlen.shape[0], 4))
+    return jnp.concatenate([valid, pre_valid], axis=1)
+
+
 def apply_mutation(tpl, tlen, core_start, core_end, mut_id, is_first=None):
     """Apply mutation ``mut_id`` (per row) to each template; updates core
     offsets so stitching (C11) stays exact. ``is_first`` marks the globally
@@ -206,12 +218,18 @@ def apply_mutation(tpl, tlen, core_start, core_end, mut_id, is_first=None):
 
 def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
                         tables, max_iters: int = 40, m_chunk: int = 32,
-                        is_first=None):
+                        is_first=None, scoring: str = "cols"):
     """Iterate best-mutation steps until convergence (all windows, lock-step).
 
     ``is_first``: bool [B], True for the globally-first window of each ZMW.
+    ``scoring``: "cols" scores mutants by alpha/beta column bridging
+    (O(R) per mutant, ops.hmm_cols — the unanimity-style trick,
+    how-does-ccs-work.md:96-101); "dense" re-runs a full forward per mutant
+    (the brute-force oracle the bridged path is tested against).
     Returns PolishState plus per-position QV of the final template.
     """
+    from ccs_tpu.ops.hmm_cols import build_columns, score_mutants_cols
+
     if is_first is None:
         is_first = jnp.zeros(tpl.shape[0], dtype=bool)
     ll0 = forward_batch(tpl, tlen, snr_bin, reads, rlens, tables).sum(-1)
@@ -227,9 +245,17 @@ def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
         return state.active.any() & (state.n_iter.max() < max_iters)
 
     def body(state):
-        mut_tpl, mut_tlen, valid = make_mutants(state.tpl, state.tlen)
-        lls = score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads, rlens,
-                            tables, m_chunk=m_chunk)
+        if scoring == "cols":
+            columns = build_columns(state.tpl, state.tlen, snr_bin, reads,
+                                    rlens, tables)
+            valid = mutation_valid(state.tlen, T)
+            lls = score_mutants_cols(state.tpl, state.tlen, snr_bin, reads,
+                                     rlens, tables, columns, valid,
+                                     m_chunk=m_chunk)
+        else:
+            mut_tpl, mut_tlen, valid = make_mutants(state.tpl, state.tlen)
+            lls = score_mutants(mut_tpl, mut_tlen, valid, snr_bin, reads,
+                                rlens, tables, m_chunk=m_chunk)
         best = jnp.argmax(lls, axis=-1)
         best_ll = jnp.take_along_axis(lls, best[:, None], axis=1)[:, 0]
         improved = (best_ll > state.ll + 1e-3) & state.active
@@ -268,4 +294,4 @@ def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
 
 
 polish_windows = jax.jit(polish_windows_impl,
-                         static_argnames=("max_iters", "m_chunk"))
+                         static_argnames=("max_iters", "m_chunk", "scoring"))
