@@ -76,6 +76,8 @@ class CcsConfig:
     tpu_window_tpl_cap: int = 48
     tpu_window_read_cap: int = 56      # padded read-slice length per window
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
+    tpu_polish_k: int = 12             # candidate positions scored per polish
+                                       # iteration (C7 gather width)
     tpu_bucket_edges: tuple[int, ...] = (2048, 8192, 16384, 32768, 65536)
     tpu_mesh_shape: Optional[tuple[int, ...]] = None  # None = all local devices
     tpu_band_width: int = 128          # banded full-length alignment band

@@ -219,24 +219,24 @@ def _ctx_params(prev, cur, snr_bin, tables):
     return me4, ie4, trans[..., 3]
 
 
-def mutation_ops(tpl, tlen, snr_bin, tables):
-    """Bridge operators for every mutant of make_mutants' enumeration.
+def mutation_ops_at(tpl, tlen, snr_bin, tables, posb, kindb):
+    """Bridge operators for an arbitrary mutation set (position, kind).
 
-    Returns (me4 [B,M,3,4], ie4 [B,M,3,4], dp [B,M,3], start [B,M],
-    qidx [B,M]) where the three operators map col_{start-1} (cols array
-    index ``start``) to the boundary scored against beta_{qidx}.
-    Enumeration matches pipeline.polish.make_mutants: m < 8T — pos=m//8,
-    kind=m%8 (0-2 sub, 3 del, 4-7 ins-after); m >= 8T — prepend base m-8T.
+    posb/kindb: int32 [B, P] — per-row template position and mutation kind
+    (0-2 substitution (tpl[pos]+1+kind)%4, 3 deletion, 4-7 insert base
+    kind-4 after pos). Returns (me4 [B,P,3,4], ie4 [B,P,3,4], dp [B,P,3],
+    start [B,P], qidx [B,P]) where the three operators map col_{start-1}
+    (cols array index ``start``) to the boundary scored against
+    beta_{qidx}. The candidate-filtered polish loop (C7,
+    /root/reference/docs/faq/performance.md:90-93) scores only gathered
+    candidate positions through this.
     """
     B, T = tpl.shape
-    M = MUTS_PER_POS * T + 4
     me_o, ie_o, dp_o = _padded_tables(tpl, tlen, snr_bin, tables)
 
-    m = jnp.arange(MUTS_PER_POS * T)
-    pos = m // MUTS_PER_POS                                # [Mr]
-    kind = m % MUTS_PER_POS
     bi = jnp.arange(B)[:, None]
-    posb = jnp.broadcast_to(pos[None], (B, pos.shape[0]))
+    kind = kindb.astype(jnp.int32)
+    posb = posb.astype(jnp.int32)
     t_at = lambda i: tpl[bi, jnp.clip(i, 0, T - 1)].astype(jnp.int32)  # noqa: E731
     tl = tlen[:, None]
     sb = snr_bin[:, None]
@@ -246,12 +246,12 @@ def mutation_ops(tpl, tlen, snr_bin, tables):
     t_next = t_at(posb + 1)
     has_next = (posb + 1) < tl
 
-    is_sub = (kind <= 2)[None]
-    is_del = (kind == 3)[None]
-    is_ins = (kind >= 4)[None]
-    x = jnp.where(is_sub, (t_p + 1 + kind[None]) % 4, kind[None] - 4)
+    is_sub = kind <= 2
+    is_del = kind == 3
+    is_ins = kind >= 4
+    x = jnp.where(is_sub, (t_p + 1 + kind) % 4, kind - 4)
 
-    zero4 = jnp.zeros((B, pos.shape[0], 4), jnp.float32)
+    zero4 = jnp.zeros((B, posb.shape[1], 4), jnp.float32)
 
     def P(prev, cur):
         prev = jnp.where(prev < 0, cur, prev)
@@ -313,6 +313,27 @@ def mutation_ops(tpl, tlen, snr_bin, tables):
     ops = [pick(o) for o in range(3)]
     start = jnp.where(is_ins, posb + 1, posb)              # cols array index
     qidx = jnp.minimum(posb + 2, tlen[:, None])            # beta index
+    me4 = jnp.stack([o[0] for o in ops], axis=2)           # [B,P,3,4]
+    ie4 = jnp.stack([o[1] for o in ops], axis=2)
+    dp4 = jnp.stack([o[2] for o in ops], axis=2)           # [B,P,3]
+    return me4, ie4, dp4, start.astype(jnp.int32), qidx.astype(jnp.int32)
+
+
+def prepend_ops(tpl, tlen, snr_bin, tables):
+    """Bridge operators for the 4 prepend mutations (base b before index 0).
+
+    Returns (me4 [B,4,3,4], ie4 [B,4,3,4], dp [B,4,3], start [B,4],
+    qidx [B,4]).
+    """
+    B, T = tpl.shape
+    bi = jnp.arange(B)[:, None]
+
+    def orig_ie(p):
+        me_o, ie_o, dp_o = _padded_tables(tpl, tlen, snr_bin, tables)
+        tl = tlen[:, None]
+        ok = (p >= 0) & (p < tl)
+        pc = jnp.clip(p, 0, T - 1)
+        return jnp.where(ok[..., None], ie_o[bi, pc], 0.0)
 
     # --- prepend mutations (4): new base x0 at index 0 ---
     x0 = jnp.arange(4, dtype=jnp.int32)[None, :]           # [1,4] -> [B,4]
@@ -326,38 +347,40 @@ def mutation_ops(tpl, tlen, snr_bin, tables):
     pre_ops = [
         (z44, ie_xx, one4),
         (me_xx, ie_x0, dp_xx),
-        (me_x0, jnp.broadcast_to(orig_ie(jnp.ones_like(posb))[:, :1],
+        (me_x0, jnp.broadcast_to(orig_ie(jnp.ones((B, 1), jnp.int32)),
                                  (B, 4, 4)), dp_x0),
     ]
     pre_start = jnp.zeros((B, 4), jnp.int32)
     pre_q = jnp.minimum(jnp.ones((B, 4), jnp.int32), tlen[:, None])
-
-    me4 = jnp.concatenate(
-        [jnp.stack([o[0] for o in ops], axis=2),
-         jnp.stack([o[0] for o in pre_ops], axis=2)], axis=1)  # [B,M,3,4]
-    ie4 = jnp.concatenate(
-        [jnp.stack([o[1] for o in ops], axis=2),
-         jnp.stack([o[1] for o in pre_ops], axis=2)], axis=1)
-    dp4 = jnp.concatenate(
-        [jnp.stack([o[2] for o in ops], axis=2),
-         jnp.stack([o[2] for o in pre_ops], axis=2)], axis=1)   # [B,M,3]
-    start = jnp.concatenate([start, pre_start], axis=1).astype(jnp.int32)
-    qidx = jnp.concatenate([qidx, pre_q], axis=1).astype(jnp.int32)
-    return me4, ie4, dp4, start, qidx
+    me4 = jnp.stack([o[0] for o in pre_ops], axis=2)       # [B,4,3,4]
+    ie4 = jnp.stack([o[1] for o in pre_ops], axis=2)
+    dp4 = jnp.stack([o[2] for o in pre_ops], axis=2)       # [B,4,3]
+    return me4, ie4, dp4, pre_start, pre_q
 
 
-@functools.partial(jax.jit, static_argnames=("m_chunk",))
-def score_mutants_cols(tpl, tlen, snr_bin, reads, rlens, tables,
-                       columns: HmmColumns, valid, m_chunk: int = 28):
-    """Summed-over-subreads LL of every mutant via column bridging: [B, M].
+def mutation_ops(tpl, tlen, snr_bin, tables):
+    """Bridge operators for every mutant of make_mutants' enumeration.
 
-    Matches pipeline.polish.score_mutants to ~1e-3 (fp-order + the scan
-    path's depth-8 delete truncation).
+    Returns (me4 [B,M,3,4], ie4 [B,M,3,4], dp [B,M,3], start [B,M],
+    qidx [B,M]). Enumeration matches pipeline.polish.make_mutants:
+    m < 8T — pos=m//8, kind=m%8; m >= 8T — prepend base m-8T.
     """
     B, T = tpl.shape
+    m = jnp.arange(MUTS_PER_POS * T)
+    posb = jnp.broadcast_to((m // MUTS_PER_POS)[None], (B, m.shape[0]))
+    kindb = jnp.broadcast_to((m % MUTS_PER_POS)[None], (B, m.shape[0]))
+    reg = mutation_ops_at(tpl, tlen, snr_bin, tables, posb, kindb)
+    pre = prepend_ops(tpl, tlen, snr_bin, tables)
+    return tuple(jnp.concatenate([r, p], axis=1) for r, p in zip(reg, pre))
+
+
+def bridge_scores(reads, rlens, columns: HmmColumns, ops, m_chunk: int = 28):
+    """Summed-over-subreads LL of each mutation in ``ops`` via column
+    bridging: [B, M]. ``ops`` = (me4, ie4, dp4, start, qidx) from
+    mutation_ops / mutation_ops_at / prepend_ops (concatenable on axis 1)."""
+    me4, ie4, dp4, start, qidx = ops
+    B, M = start.shape
     _, C, R = reads.shape
-    me4, ie4, dp4, start, qidx = mutation_ops(tpl, tlen, snr_bin, tables)
-    M = me4.shape[1]
     oh = _onehot_reads(reads)                              # [B,C,R,4]
     rl = rlens.astype(jnp.int32)
 
@@ -401,5 +424,17 @@ def score_mutants_cols(tpl, tlen, snr_bin, reads, rlens, tables,
         a.reshape((B, n_chunks, m_chunk) + a.shape[2:]), 1, 0)
     lls = jax.lax.map(chunk, (resh(me4), resh(ie4), resh(dp4),
                               resh(start), resh(qidx)))     # [nc,B,mc]
-    lls = jnp.moveaxis(lls, 0, 1).reshape(B, Mp)[:, :M]
+    return jnp.moveaxis(lls, 0, 1).reshape(B, Mp)[:, :M]
+
+
+@functools.partial(jax.jit, static_argnames=("m_chunk",))
+def score_mutants_cols(tpl, tlen, snr_bin, reads, rlens, tables,
+                       columns: HmmColumns, valid, m_chunk: int = 28):
+    """Summed-over-subreads LL of every mutant via column bridging: [B, M].
+
+    Matches pipeline.polish.score_mutants to ~1e-3 (fp-order + the scan
+    path's depth-8 delete truncation).
+    """
+    ops = mutation_ops(tpl, tlen, snr_bin, tables)
+    lls = bridge_scores(reads, rlens, columns, ops, m_chunk=m_chunk)
     return jnp.where(valid, lls, NEG)

@@ -91,11 +91,22 @@ class CcsEngine:
 
         live = [it for it in items if not it.terminal]
         if live:
-            self._polish_live(live)
+            # C7 candidate filtering is a speed heuristic; tandem-repeat ZMWs
+            # implicitly disable it (low-complexity.md:15-17), --disable-
+            # heuristics globally. Those windows run the exhaustive scan.
+            fast = [it for it in live if not (
+                self.cfg.disable_heuristics or it.result.has_tandem_repeat)]
+            full = [it for it in live if (
+                self.cfg.disable_heuristics or it.result.has_tandem_repeat)]
+            if fast:
+                self._polish_live(fast, heuristics=True)
+            if full:
+                self._polish_live(full, heuristics=False)
         return [it.result for it in items]
 
     # -- device phase --
-    def _polish_live(self, live: list[ZmwWorkItem]) -> None:
+    def _polish_live(self, live: list[ZmwWorkItem],
+                     heuristics: bool = True) -> None:
         cfg = self.cfg
         t_cap = cfg.tpu_window_tpl_cap
         r_cap = cfg.tpu_window_read_cap
@@ -113,6 +124,7 @@ class CcsEngine:
         reads = np.full((W_pad, C_pad, r_cap), -1, np.int8)
         rlens = np.full((W_pad, C_pad), -1, np.int32)
         is_first = np.zeros(W_pad, dtype=bool)
+        priority = np.zeros((W_pad, t_cap), np.float32)
 
         off = 0
         for it in live:
@@ -127,6 +139,7 @@ class CcsEngine:
             snr_bin[off:off + n] = it.snr_bin
             reads[off:off + n, :c] = b.reads
             rlens[off:off + n, :c] = b.rlens
+            priority[off:off + n] = b.priority
             off += n
 
         state, qv, _p_err = polish_windows(
@@ -134,7 +147,9 @@ class CcsEngine:
             jnp.asarray(ce), jnp.asarray(snr_bin), jnp.asarray(reads),
             jnp.asarray(rlens), self.tables,
             max_iters=cfg.max_polish_iterations,
-            is_first=jnp.asarray(is_first))
+            is_first=jnp.asarray(is_first),
+            heuristics=heuristics, k_cand=cfg.tpu_polish_k,
+            priority=jnp.asarray(priority) if heuristics else None)
         out_tpl = np.asarray(state.tpl)
         out_tlen = np.asarray(state.tlen)
         out_cs = np.asarray(state.core_start)

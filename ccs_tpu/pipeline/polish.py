@@ -216,9 +216,153 @@ def apply_mutation(tpl, tlen, core_start, core_end, mut_id, is_first=None):
     return out, new_tlen, new_cs, new_ce
 
 
+def _qv_from_deltas(delta):
+    """QV per template position from sub+del score deltas [B, T, 4]
+    (how-does-ccs-work.md:103-106): p_err from the LL-ratio of the best
+    template vs its mutated counterparts."""
+    alt = jnp.where(jnp.isfinite(delta) & (delta > NEG / 2), delta, NEG)
+    s = jnp.exp(jnp.minimum(alt, 30.0)).sum(-1)
+    p_err = s / (1.0 + s)
+    qv = -10.0 * jnp.log10(jnp.maximum(p_err, 1e-9))
+    return jnp.clip(qv, 0.0, 93.0), p_err
+
+
+class CandPolishState(NamedTuple):
+    tpl: jnp.ndarray         # [B, T] int8
+    tlen: jnp.ndarray        # [B] int32
+    core_start: jnp.ndarray  # [B] int32
+    core_end: jnp.ndarray    # [B] int32
+    ll: jnp.ndarray          # [B] f32
+    active: jnp.ndarray      # [B] bool
+    n_iter: jnp.ndarray      # [B] int32
+    priority: jnp.ndarray    # [B, T] f32 candidate priority (0 = skip)
+
+
+def _polish_candidates(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
+                       tables, priority, max_iters: int, m_chunk: int,
+                       k_cand: int, is_first):
+    """Candidate-filtered polish (component C7, performance.md:90-93).
+
+    Each iteration gathers the K highest-priority template positions per
+    window and scores only their 8 mutations (+4 prepends) by column
+    bridging. Tried positions drop to priority 0; an accepted edit re-flags
+    its ±2 neighborhood (the only operators the edit changed), so every
+    flagged candidate is eventually scored and convergence means no flagged
+    mutation improves — the documented "skipping unambiguous positions"
+    heuristic with its >=2x speedup. QVs come from a final sub+del scan of
+    every position of the converged template.
+    """
+    from ccs_tpu.ops.hmm_cols import (bridge_scores, build_columns,
+                                      mutation_ops_at, prepend_ops)
+
+    B, T = tpl.shape
+    K = min(k_cand, T)
+    ll0 = forward_batch(tpl, tlen, snr_bin, reads, rlens, tables).sum(-1)
+    has_cov = (rlens >= 0).any(-1)
+    j_t = jnp.arange(T)[None, :]
+    if priority is None:
+        priority = jnp.ones((B, T), jnp.float32)
+    priority = jnp.where((j_t < tlen[:, None]) & has_cov[:, None],
+                         priority.astype(jnp.float32), 0.0)
+    state = CandPolishState(
+        tpl, tlen.astype(jnp.int32), core_start.astype(jnp.int32),
+        core_end.astype(jnp.int32), ll0,
+        active=has_cov & (priority > 0).any(-1),
+        n_iter=jnp.zeros(B, jnp.int32), priority=priority)
+
+    kind_pat = jnp.tile(jnp.arange(MUTS_PER_POS), K)
+    rows = jnp.arange(B)[:, None]
+
+    def cond(s):
+        return s.active.any() & (s.n_iter.max() < max_iters)
+
+    def body(s):
+        columns = build_columns(s.tpl, s.tlen, snr_bin, reads, rlens, tables)
+        vals, idx = jax.lax.top_k(s.priority, K)             # [B, K]
+        pos8 = jnp.repeat(idx, MUTS_PER_POS, axis=1)         # [B, 8K]
+        kind8 = jnp.broadcast_to(kind_pat[None], (B, MUTS_PER_POS * K))
+        reg = mutation_ops_at(s.tpl, s.tlen, snr_bin, tables, pos8, kind8)
+        pre = prepend_ops(s.tpl, s.tlen, snr_bin, tables)
+        ops = tuple(jnp.concatenate([r, p], axis=1) for r, p in zip(reg, pre))
+        lls = bridge_scores(reads, rlens, columns, ops, m_chunk=m_chunk)
+        tl = s.tlen[:, None]
+        v = (pos8 < tl) & (jnp.repeat(vals, MUTS_PER_POS, axis=1) > 0)
+        v &= jnp.where(kind8 == 3, tl > 1, True)
+        v &= jnp.where(kind8 >= 4, tl < T, True)
+        v_pre = jnp.broadcast_to((s.tlen < T)[:, None], (B, 4))
+        lls = jnp.where(jnp.concatenate([v, v_pre], axis=1), lls, NEG)
+
+        best = jnp.argmax(lls, axis=-1)
+        best_ll = jnp.take_along_axis(lls, best[:, None], axis=1)[:, 0]
+        improved = (best_ll > s.ll + 1e-3) & s.active
+        n_reg = MUTS_PER_POS * K
+        reg_best = jnp.minimum(best, n_reg - 1)[:, None]
+        sel_pos = jnp.take_along_axis(pos8, reg_best, axis=1)[:, 0]
+        sel_kind = jnp.take_along_axis(kind8, reg_best, axis=1)[:, 0]
+        is_pre = best >= n_reg
+        mut_id = jnp.where(is_pre, MUTS_PER_POS * T + (best - n_reg),
+                           sel_pos * MUTS_PER_POS + sel_kind)
+        new_tpl, new_tlen, cs, ce = apply_mutation(
+            s.tpl, s.tlen, s.core_start, s.core_end, mut_id, is_first)
+
+        # --- priority bookkeeping ---
+        # tried positions drop to 0 — EXCEPT positions that still carry an
+        # improving mutation (only the global best is applied per iteration;
+        # runners-up must stay flagged or their improvements are lost)
+        pos_ll = jnp.max(lls[:, :n_reg].reshape(B, K, MUTS_PER_POS), axis=-1)
+        pos_imp = pos_ll > s.ll[:, None] + 1e-3
+        pri = s.priority.at[rows, idx].set(jnp.where(pos_imp, vals, 0.0))
+        # indel edits shift positions: remap priorities to new coordinates
+        p = sel_pos[:, None]
+        del_src = jnp.clip(j_t + (j_t >= p), 0, T - 1)
+        ins_src = jnp.clip(jnp.where(j_t <= p, j_t, j_t - 1), 0, T - 1)
+        pre_src = jnp.clip(j_t - 1, 0, T - 1)
+        src = jnp.where(is_pre[:, None], pre_src,
+                        jnp.where((sel_kind == 3)[:, None], del_src,
+                                  jnp.where((sel_kind >= 4)[:, None],
+                                            ins_src, j_t)))
+        shifted = jnp.take_along_axis(pri, src, axis=1)
+        # re-flag the edited neighborhood (its bridge operators changed)
+        e = jnp.where(is_pre, 0,
+                      jnp.where(sel_kind >= 4, sel_pos + 1, sel_pos))[:, None]
+        nb = (j_t >= e - 2) & (j_t <= e + 2)
+        pri_new = jnp.where(improved[:, None],
+                            jnp.where(nb, 1.0, shifted), pri)
+        eff_tlen = jnp.where(improved, new_tlen, s.tlen)
+        pri_new = jnp.where(j_t < eff_tlen[:, None], pri_new, 0.0)
+
+        sel = improved[:, None]
+        return CandPolishState(
+            tpl=jnp.where(sel, new_tpl, s.tpl),
+            tlen=jnp.where(improved, new_tlen, s.tlen),
+            core_start=jnp.where(improved, cs, s.core_start),
+            core_end=jnp.where(improved, ce, s.core_end),
+            ll=jnp.where(improved, best_ll, s.ll),
+            active=(pri_new > 0).any(-1) & has_cov,
+            n_iter=s.n_iter + s.active.astype(jnp.int32),
+            priority=pri_new)
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # --- final QV scan: sub+del of every position of the final template ---
+    columns = build_columns(state.tpl, state.tlen, snr_bin, reads, rlens,
+                            tables)
+    posq = jnp.broadcast_to(jnp.repeat(jnp.arange(T), 4)[None], (B, 4 * T))
+    kindq = jnp.broadcast_to(jnp.tile(jnp.arange(4), T)[None], (B, 4 * T))
+    opsq = mutation_ops_at(state.tpl, state.tlen, snr_bin, tables, posq, kindq)
+    llq = bridge_scores(reads, rlens, columns, opsq, m_chunk=m_chunk)
+    vq = posq < state.tlen[:, None]
+    vq &= jnp.where(kindq == 3, state.tlen[:, None] > 1, True)
+    delta = jnp.where(vq, llq - state.ll[:, None], NEG).reshape(B, T, 4)
+    qv, p_err = _qv_from_deltas(delta)
+    return state, qv, p_err
+
+
 def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
                         tables, max_iters: int = 40, m_chunk: int = 32,
-                        is_first=None, scoring: str = "cols"):
+                        is_first=None, scoring: str = "cols",
+                        heuristics: bool = False, k_cand: int = 12,
+                        priority=None):
     """Iterate best-mutation steps until convergence (all windows, lock-step).
 
     ``is_first``: bool [B], True for the globally-first window of each ZMW.
@@ -226,10 +370,18 @@ def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
     (O(R) per mutant, ops.hmm_cols — the unanimity-style trick,
     how-does-ccs-work.md:96-101); "dense" re-runs a full forward per mutant
     (the brute-force oracle the bridged path is tested against).
-    Returns PolishState plus per-position QV of the final template.
+    ``heuristics``: candidate-filtered loop (C7) — only positions with
+    positive ``priority`` [B, T] are polished; see _polish_candidates.
+    Returns the polish state plus per-position QV of the final template.
     """
     from ccs_tpu.ops.hmm_cols import build_columns, score_mutants_cols
 
+    if is_first is None and heuristics:
+        is_first = jnp.zeros(tpl.shape[0], dtype=bool)
+    if heuristics:
+        return _polish_candidates(tpl, tlen, core_start, core_end, snr_bin,
+                                  reads, rlens, tables, priority, max_iters,
+                                  m_chunk, k_cand, is_first)
     if is_first is None:
         is_first = jnp.zeros(tpl.shape[0], dtype=bool)
     ll0 = forward_batch(tpl, tlen, snr_bin, reads, rlens, tables).sum(-1)
@@ -283,15 +435,10 @@ def polish_windows_impl(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
     delta = (state.mut_lls[:, :MUTS_PER_POS * T]
              - state.ll[:, None]).reshape(B, T, MUTS_PER_POS)
     # per-base alternatives: 3 subs + deletion (kinds 0..3)
-    alt = jnp.where(jnp.isfinite(delta[..., :4]) & (delta[..., :4] > NEG / 2),
-                    delta[..., :4], NEG)
-    # p_err = sum(exp(alt)) / (1 + sum(exp(alt))), capped for stability
-    s = jnp.exp(jnp.minimum(alt, 30.0)).sum(-1)
-    p_err = s / (1.0 + s)
-    qv = -10.0 * jnp.log10(jnp.maximum(p_err, 1e-9))
-    qv = jnp.clip(qv, 0.0, 93.0)
+    qv, p_err = _qv_from_deltas(delta[..., :4])
     return state, qv, p_err
 
 
 polish_windows = jax.jit(polish_windows_impl,
-                         static_argnames=("max_iters", "m_chunk", "scoring"))
+                         static_argnames=("max_iters", "m_chunk", "scoring",
+                                          "heuristics", "k_cand"))

@@ -90,6 +90,7 @@ class WindowBatch:
     rlens      [W, C] int32      (-1 = absent lane)
     full_len   [W, C] bool       subread lane is a full-length pass
     coverage   [W] int32         live lanes per window
+    priority   [W, T_CAP] f32    candidate-polish priority (C7; 0 = skip)
     """
     tpl: np.ndarray
     tlen: np.ndarray
@@ -99,7 +100,55 @@ class WindowBatch:
     rlens: np.ndarray
     full_len: np.ndarray
     coverage: np.ndarray
+    priority: np.ndarray
     windows: list[Window]
+
+
+def candidate_priority(draft: np.ndarray,
+                       rpos_list: list,
+                       reads: list[np.ndarray]) -> np.ndarray:
+    """Per-draft-position polish priority (component C7).
+
+    how-does-ccs-work.md:80-85 / performance.md:90-93: a heuristic picks the
+    positions likely to need polishing (pileup disagreement); homopolymers
+    are always polished. Positions with zero priority are skipped by the
+    candidate polish loop — the documented >=2x speedup, sublinear in
+    passes. Disagreement evidence per subread = base mismatch at the
+    interpolated read coordinate OR local indel activity (coordinate step
+    != 1); interpolation slop between anchors only ever ADDS candidates.
+    """
+    T = len(draft)
+    cnt = np.zeros(T, np.int64)
+    ncov = np.zeros(T, np.int64)
+    for rpos, read in zip(rpos_list, reads):
+        if rpos is None:
+            continue
+        lo = np.asarray(rpos[:T], dtype=np.int64)
+        hi = np.asarray(rpos[1:T + 1], dtype=np.int64)
+        live = hi > lo
+        base = read[np.clip(lo, 0, max(len(read) - 1, 0))] if len(read) \
+            else np.full(T, -1, np.int8)
+        mism = (base != draft) | (hi - lo != 1)
+        cnt += (mism & live)
+        ncov += live
+    frac = cnt / np.maximum(ncov, 1)
+    cand = (cnt >= np.minimum(2, np.maximum(ncov, 1))) & \
+        (cnt * 100 >= 15 * ncov) & (ncov > 0)
+    # dilate by 1: an error's evidence bleeds into its neighbors' contexts
+    cand[:-1] |= cand[1:]
+    cand[1:] |= cand[:-1]
+    pri = np.where(cand, 0.5 + frac, 0.0).astype(np.float32)
+    # homopolymer runs (>=3) are always polished
+    if T >= 3:
+        run = (draft[1:] == draft[:-1])
+        hp3 = run[1:] & run[:-1]            # center of a >=3 run
+        hp = np.zeros(T, dtype=bool)
+        idx = np.nonzero(hp3)[0]
+        hp[idx] = True
+        hp[idx + 1] = True
+        hp[idx + 2] = True
+        pri = np.maximum(pri, np.where(hp, 0.5, 0.0).astype(np.float32))
+    return pri
 
 
 def build_window_batch(draft: np.ndarray,
@@ -130,12 +179,15 @@ def build_window_batch(draft: np.ndarray,
     rlens = np.full((W, C), -1, dtype=np.int32)
     fl = np.zeros((W, C), dtype=bool)
     coverage = np.zeros(W, dtype=np.int32)
+    pri_draft = candidate_priority(draft, rpos_list, reads)
+    priority = np.zeros((W, t_cap), dtype=np.float32)
 
     for w, win in enumerate(wins):
         text = draft[win.ext_a:win.ext_b]
         L = min(len(text), t_cap)
         tpl[w, :L] = text[:L]
         tlen[w] = L
+        priority[w, :L] = pri_draft[win.ext_a:win.ext_a + L]
         core_start[w] = win.core_a - win.ext_a
         core_end[w] = min(win.core_b - win.ext_a, L)
         lane = 0
@@ -158,4 +210,4 @@ def build_window_batch(draft: np.ndarray,
             lane += 1
         coverage[w] = lane
     return WindowBatch(tpl, tlen, core_start, core_end, out_reads, rlens,
-                       fl, coverage, wins)
+                       fl, coverage, priority, wins)
