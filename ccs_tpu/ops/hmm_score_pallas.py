@@ -1,0 +1,420 @@
+"""Fused Pallas TPU kernel: exhaustive pair-HMM mutation scoring (C8).
+
+One kernel invocation computes, for a block of 128 windows (lane axis):
+
+- the forward and backward column matrices of the Arrow pair-HMM for every
+  subread lane (kept entirely in VMEM — the round-1 XLA formulation
+  round-tripped ~100 MB of columns through HBM per polish iteration and
+  gathered them with per-lane indices),
+- the log-likelihood of EVERY single-point mutation of the 9-kind
+  enumeration (pipeline.polish_fused) via alpha/beta column bridging with
+  beta-pairing: LL(mut) = y3 . beta_q where y3 is the pre-insertion-solve
+  bridge vector, so each mutant costs two insertion-chain solves instead of
+  three,
+- the exact current-template log-likelihood ll0.
+
+This is the component PacBio moved to GPUs on Revio
+(/root/reference/docs/faq/revio.md:14-27); the mutation-testing algebra
+matches ops.hmm_cols (the tested XLA oracle).
+
+Layout (pallas guide): lane = window (128-wide), sublane = read-boundary
+axis S = R+1 (padded to a multiple of 8). Subreads iterate in a fori_loop;
+template positions iterate in fori_loops; the static mutation grid means no
+data-dependent gathers anywhere. Insertion/deletion chains are solved by
+3 doubling steps (runs <= 7; rates <~0.2 make the truncation error <1e-5
+relative — same regime as hmm_jax.DELETE_CHAIN_DEPTH).
+
+Param-plane indexing convention (matches ops.hmm_cols.build_columns):
+forward boundary j uses dp[j-1], me[j-1], ie[j]; the extended planes
+mex/iex/dpx are therefore indexed mex[j] = me[j-1] (mex[0]=0),
+iex[j] = ie[j] (iex[T]=0), dpx[j] = dp[j-1] (dpx[0]=1), all with identity
+padding beyond tlen (dp=1, me=ie=0) so template-end edge cases vanish.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TINY = 1e-30
+LANE_BLOCK = 128
+N_SETS = 13  # mutated-context param sets: A_x(4) + B_x(4) + C_x(4) + D(1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _shift_down(v, d: int):
+    """v[i-d] along the sublane axis, zero-filled top rows."""
+    rolled = pltpu.roll(v, d, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(row < d, 0.0, rolled)
+
+
+def _shift_up(v, d: int):
+    rolled = pltpu.roll(v, v.shape[0] - d, axis=0)     # == roll by -d
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    return jnp.where(row >= v.shape[0] - d, 0.0, rolled)
+
+
+def _solve_fwd(y, a):
+    """w[i] = y[i] + a[i]*w[i-1], runs truncated at depth 8 (3 doublings)."""
+    x, c = y, a
+    for d in (1, 2, 4):
+        x = x + c * _shift_down(x, d)
+        c = c * _shift_down(c, d)
+    return x
+
+
+def _solve_bwd(y, a):
+    """w[i] = y[i] + a[i]*w[i+1], truncated at depth 8."""
+    x, c = y, a
+    for d in (1, 2, 4):
+        x = x + c * _shift_up(x, d)
+        c = c * _shift_up(c, d)
+    return x
+
+
+def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
+                  rl_ref, lls_ref, ll0_ref,
+                  mex_ref, iex_ref, dpx_ref, meM_ref, ieM_ref, dpM_ref,
+                  fcols_ref, lsf_ref, betas_ref, lsb_ref, ohd_ref, ohu_ref,
+                  dots_ref, lsr_ref,
+                  *, T: int, C: int, R: int, S: int):
+    """One 128-window block. See module docstring for the layout.
+
+    tpl [T,LB] i32 (clipped), tlen [1,LB], ME/IE [16,4,LB], DP [16,LB],
+    reads [C,R,LB] i32, rl [C,LB] -> lls [16,T+1,LB] (slot [k,p] = mutation
+    9p+k; [0:4,T] = prepends), ll0 [8,LB] (row 0).
+    """
+    LB = tpl_ref.shape[-1]
+    tpl = tpl_ref[:]                                   # [T, LB]
+    tl = tlen_ref[:]                                   # [1, LB]
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (T, LB), 0)
+    in_tpl = (jrow < tl).astype(jnp.float32)
+    prev = jnp.where(jrow == 0, tpl, pltpu.roll(tpl, 1, axis=0))
+    nxt = pltpu.roll(tpl, T - 1, axis=0)               # == roll -1; T-1 masked
+    has_next = ((jrow + 1) < tl).astype(jnp.float32)
+
+    # ---- original positional params (identity-padded) ----
+    ctx0 = 4 * prev + tpl                              # [T, LB]
+    pme = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+    pie = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+    pdp = jnp.zeros((T, LB), jnp.float32)
+    for k in range(16):
+        mk = (ctx0 == k).astype(jnp.float32) * in_tpl
+        for x in range(4):
+            pme[x] = pme[x] + mk * ME_ref[k, x:x + 1]
+            pie[x] = pie[x] + mk * IE_ref[k, x:x + 1]
+        pdp = pdp + mk * DP_ref[k:k + 1]
+    pdp = pdp + (1.0 - in_tpl)                         # dp=1 beyond tlen
+    z1 = jnp.zeros((1, LB), jnp.float32)
+    for x in range(4):
+        mex_ref[x] = jnp.concatenate([z1, pme[x]], axis=0)   # mex[j]=me[j-1]
+        iex_ref[x] = jnp.concatenate([pie[x], z1], axis=0)   # iex[j]=ie[j]
+    dpx_ref[:] = jnp.concatenate([jnp.ones((1, LB), jnp.float32), pdp],
+                                 axis=0)
+
+    # ---- mutated-context param planes (13 sets x {me4, ie4, dp}) ----
+    # sets 0..3: A_x = P(prev_eff, x); 4..7: B_x = P(x, next);
+    # 8..11: C_x = P(cur, x); 12: D = P(prev_eff_del, next).
+    ctxs = []
+    for x in range(4):
+        pa = jnp.where(jrow == 0, x, prev)
+        ctxs.append(4 * pa + x)
+    for x in range(4):
+        ctxs.append(4 * x + jnp.clip(nxt, 0, 3))
+    for x in range(4):
+        ctxs.append(4 * tpl + x)
+    pd = jnp.where(jrow == 0, jnp.clip(nxt, 0, 3), prev)
+    ctxs.append(4 * pd + jnp.clip(nxt, 0, 3))
+    for s in range(N_SETS):
+        # sets 4..7 (B_x) and 12 (D) are identity when there is no next base
+        masked = 4 <= s < 8 or s == 12
+        mes = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+        ies = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+        dps = jnp.zeros((T, LB), jnp.float32)
+        for k in range(16):
+            mk = (ctxs[s] == k).astype(jnp.float32)
+            if masked:
+                mk = mk * has_next
+            for x in range(4):
+                mes[x] = mes[x] + mk * ME_ref[k, x:x + 1]
+                ies[x] = ies[x] + mk * IE_ref[k, x:x + 1]
+            dps = dps + mk * DP_ref[k:k + 1]
+        if masked:
+            dps = dps + (1.0 - has_next)
+        for x in range(4):
+            meM_ref[s, x] = mes[x]
+            ieM_ref[s, x] = ies[x]
+        dpM_ref[s] = dps
+
+    # ---- init outputs / scratch accumulators ----
+    lls_ref[:] = jnp.zeros_like(lls_ref)
+    ll0_ref[:] = jnp.zeros_like(ll0_ref)
+    dots_ref[:] = jnp.zeros_like(dots_ref)
+    lsr_ref[:] = jnp.zeros_like(lsr_ref)
+
+    irow = jax.lax.broadcasted_iota(jnp.int32, (S, LB), 0)
+    e0 = (irow == 0).astype(jnp.float32)
+    t0 = tpl[0:1]                                      # [1, LB]
+
+    def emis(oh_ref, vec4):
+        """Emission row [S,LB] from a per-lane 4-vector [4,1,LB]-ish."""
+        r = oh_ref[0] * vec4[0]
+        for x in range(1, 4):
+            r = r + oh_ref[x] * vec4[x]
+        return r
+
+    def c_body(c, _):
+        rc = reads_ref[c]                              # [R, LB] i32
+        rl_c = rl_ref[pl.ds(c, 1)]                     # [1, LB]
+        live = (rl_c >= 0).astype(jnp.float32)
+        zpad = jnp.zeros((S - R - 1, LB), jnp.float32)
+        for x in range(4):
+            hx = (rc == x).astype(jnp.float32)
+            ohd_ref[x] = jnp.concatenate([z1, hx, zpad], axis=0)
+            ohu_ref[x] = jnp.concatenate([hx, zpad, z1], axis=0)
+
+        # ---- forward columns ----
+        fcols_ref[0] = e0
+        lsf_ref[0:1] = z1
+
+        def fwd(j, carry):
+            col, ls = carry
+            me4 = mex_ref[:, pl.ds(j, 1)]              # [4, 1, LB]
+            ie4 = iex_ref[:, pl.ds(j, 1)]
+            dpj = dpx_ref[pl.ds(j, 1)]                 # [1, LB]
+            me_r = emis(ohd_ref, me4)
+            ie_r = emis(ohd_ref, ie4)
+            y = dpj * col + me_r * _shift_down(col, 1)
+            w = _solve_fwd(y, ie_r)
+            sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
+            col = w / sc
+            ls = ls + jnp.log(sc)
+            fcols_ref[j + 1] = col
+            lsf_ref[pl.ds(j + 1, 1)] = ls
+            return col, ls
+
+        colT, lsT = jax.lax.fori_loop(0, T + 1, fwd, (e0, z1))
+        endm = (irow == rl_c).astype(jnp.float32)
+        final = jnp.sum(colT * endm, axis=0, keepdims=True)
+        ll0_ref[0:1] += live * (jnp.log(jnp.maximum(final, TINY)) + lsT)
+
+        # ---- backward sensitivities (full beta, post-solve) ----
+        betas_ref[T] = endm
+        lsb_ref[pl.ds(T, 1)] = z1
+
+        def bwd(it, carry):
+            beta, ls = carry
+            j = T - 1 - it
+            me4 = mex_ref[:, pl.ds(j + 1, 1)]          # me[j]
+            ie4 = iex_ref[:, pl.ds(j, 1)]              # ie[j]
+            dpj = dpx_ref[pl.ds(j + 1, 1)]             # dp[j]
+            me_rs = emis(ohu_ref, me4)
+            ie_rs = emis(ohu_ref, ie4)
+            u = dpj * beta + me_rs * _shift_up(beta, 1)
+            w = _solve_bwd(u, ie_rs)
+            sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
+            beta = w / sc
+            ls = ls + jnp.log(sc)
+            betas_ref[j] = beta
+            lsb_ref[pl.ds(j, 1)] = ls
+            return beta, ls
+
+        jax.lax.fori_loop(0, T, bwd, (endm, z1))
+
+        # ---- bridge every mutation ----
+        def bridge(p, _):
+            colm1 = fcols_ref[p]                       # col_{p-1}
+            col0 = fcols_ref[p + 1]                    # col_p
+            q = jnp.minimum(p + 2, T)
+            betaq = betas_ref[q]
+            lsc_p = lsf_ref[pl.ds(p, 1)]
+            lsc_p1 = lsf_ref[pl.ds(p + 1, 1)]
+            lsb_q = lsb_ref[pl.ds(q, 1)]
+            me_r_pm1 = emis(ohd_ref, mex_ref[:, pl.ds(p, 1)])
+            me_r_p = emis(ohd_ref, mex_ref[:, pl.ds(p + 1, 1)])
+            dp_pm1 = dpx_ref[pl.ds(p, 1)]
+            dp_p = dpx_ref[pl.ds(p + 1, 1)]
+            y_p = dp_pm1 * colm1 + me_r_pm1 * _shift_down(colm1, 1)
+            y_p1 = dp_p * col0 + me_r_p * _shift_down(col0, 1)
+
+            def two_ops(y1, ie1, me1, dp1, ieB, meB, dpB):
+                v1 = _solve_fwd(y1, ie1)
+                y2 = dp1 * v1 + me1 * _shift_down(v1, 1)
+                v2 = _solve_fwd(y2, ieB)
+                y3 = dpB * v2 + meB * _shift_down(v2, 1)
+                return jnp.sum(y3 * betaq, axis=0, keepdims=True)
+
+            subs, inss = [], []
+            for x in range(4):
+                meA = meM_ref[x, :, pl.ds(p, 1)]       # [4, 1, LB]
+                ieA = ieM_ref[x, :, pl.ds(p, 1)]
+                dpA = dpM_ref[x, pl.ds(p, 1)]
+                meB = meM_ref[4 + x, :, pl.ds(p, 1)]
+                ieB = ieM_ref[4 + x, :, pl.ds(p, 1)]
+                dpB = dpM_ref[4 + x, pl.ds(p, 1)]
+                meC = meM_ref[8 + x, :, pl.ds(p, 1)]
+                ieC = ieM_ref[8 + x, :, pl.ds(p, 1)]
+                dpC = dpM_ref[8 + x, pl.ds(p, 1)]
+                Bie_r = emis(ohd_ref, ieB)
+                Bme_r = emis(ohd_ref, meB)
+                subs.append(two_ops(y_p, emis(ohd_ref, ieA),
+                                    emis(ohd_ref, meA), dpA,
+                                    Bie_r, Bme_r, dpB))
+                inss.append(two_ops(y_p1, emis(ohd_ref, ieC),
+                                    emis(ohd_ref, meC), dpC,
+                                    Bie_r, Bme_r, dpB))
+            meD = meM_ref[12, :, pl.ds(p, 1)]
+            ieD = ieM_ref[12, :, pl.ds(p, 1)]
+            dpD = dpM_ref[12, pl.ds(p, 1)]
+            v1d = _solve_fwd(y_p, emis(ohd_ref, ieD))
+            y2d = dpD * v1d + emis(ohd_ref, meD) * _shift_down(v1d, 1)
+            dot_del = jnp.sum(y2d * betaq, axis=0, keepdims=True)
+
+            block = jnp.concatenate(subs + [dot_del] + inss, axis=0)  # [9,LB]
+            dots_ref[0:9, pl.ds(p, 1)] = block[:, None, :]
+            ls5 = jnp.broadcast_to(lsc_p + lsb_q, (5, LB))
+            ls4 = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
+            lsr_ref[0:9, pl.ds(p, 1)] = jnp.concatenate(
+                [ls5, ls4], axis=0)[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, T, bridge, 0)
+
+        # ---- prepends: base x before position 0, bridged from e_0 ----
+        beta1 = betas_ref[1]
+        lsb_1 = lsb_ref[pl.ds(1, 1)]
+        pres = []
+        for x in range(4):
+            kxx = 5 * x                                # ctx (x, x)
+            me_xx = ME_ref[kxx]                        # [4, LB]
+            ie_xx = IE_ref[kxx]
+            dp_xx = DP_ref[kxx:kxx + 1]
+            # ctx (x, t0): per-lane select over t0
+            me_x0 = jnp.zeros((4, LB), jnp.float32)
+            ie_x0 = jnp.zeros((4, LB), jnp.float32)
+            dp_x0 = jnp.zeros((1, LB), jnp.float32)
+            for b in range(4):
+                mb = (t0 == b).astype(jnp.float32)     # [1, LB]
+                me_x0 = me_x0 + mb * ME_ref[4 * x + b]
+                ie_x0 = ie_x0 + mb * IE_ref[4 * x + b]
+                dp_x0 = dp_x0 + mb * DP_ref[4 * x + b:4 * x + b + 1]
+            v1 = _solve_fwd(e0, emis(ohd_ref, ie_xx[:, None]))
+            y2 = dp_xx * v1 + emis(ohd_ref, me_xx[:, None]) * _shift_down(v1, 1)
+            v2 = _solve_fwd(y2, emis(ohd_ref, ie_x0[:, None]))
+            y3 = dp_x0 * v2 + emis(ohd_ref, me_x0[:, None]) * _shift_down(v2, 1)
+            pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
+        dots_ref[0:4, pl.ds(T, 1)] = jnp.concatenate(pres, axis=0)[:, None, :]
+        lsr_ref[0:4, pl.ds(T, 1)] = jnp.broadcast_to(
+            lsb_1, (4, LB))[:, None, :]
+
+        # ---- accumulate this subread's log-likelihoods ----
+        lls_ref[:] += live[None] * (
+            jnp.log(jnp.maximum(dots_ref[:], TINY)) + lsr_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, C, c_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "lane_block"))
+def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
+                     interpret: bool = False,
+                     lane_block: int = LANE_BLOCK):
+    """Exhaustive mutation scores + exact ll0 for every window.
+
+    tpl [B,T] int8, tlen [B], snr_bin [B], reads [B,C,R] int8, rlens [B,C]
+    -> (lls [B, 9T+4] f32 — UNMASKED (caller applies the validity mask),
+        ll0 [B] f32).
+    """
+    B, T = tpl.shape
+    _, C, R = reads.shape
+    S = _round_up(R + 1, 8)
+
+    # per-window per-ctx parameter tables (ctx fully determines me4/ie4/dp)
+    trans = tables["trans"][snr_bin]                   # [B, 16, 4]
+    em = tables["emit_match"][snr_bin]
+    es = tables["emit_stick"][snr_bin]
+    ME = trans[..., 0:1] * em                          # [B, 16, 4]
+    cur = jnp.arange(16) % 4
+    onehot = jax.nn.one_hot(cur, 4, dtype=jnp.float32)  # [16, 4]
+    IE = trans[..., 1:2] * onehot[None] + trans[..., 2:3] * es
+    DP = trans[..., 3]                                 # [B, 16]
+
+    ME_t = jnp.transpose(ME, (1, 2, 0))                # [16, 4, B]
+    IE_t = jnp.transpose(IE, (1, 2, 0))
+    DP_t = DP.T                                        # [16, B]
+    tpl_t = jnp.clip(tpl, 0, 3).astype(jnp.int32).T    # [T, B]
+    tlen_t = tlen.astype(jnp.int32)[None]              # [1, B]
+    reads_t = jnp.transpose(reads, (1, 2, 0)).astype(jnp.int32)  # [C, R, B]
+    rl_t = rlens.astype(jnp.int32).T                   # [C, B]
+
+    LB = min(lane_block, _round_up(B, 128))
+    Bp = _round_up(B, LB)
+    if Bp != B:
+        pad = Bp - B
+        ME_t = jnp.pad(ME_t, ((0, 0), (0, 0), (0, pad)))
+        IE_t = jnp.pad(IE_t, ((0, 0), (0, 0), (0, pad)))
+        DP_t = jnp.pad(DP_t, ((0, 0), (0, pad)))
+        tpl_t = jnp.pad(tpl_t, ((0, 0), (0, pad)))
+        tlen_t = jnp.pad(tlen_t, ((0, 0), (0, pad)), constant_values=1)
+        reads_t = jnp.pad(reads_t, ((0, 0), (0, 0), (0, pad)),
+                          constant_values=-1)
+        rl_t = jnp.pad(rl_t, ((0, 0), (0, pad)), constant_values=-1)
+
+    grid = (Bp // LB,)
+
+    def lane_spec(leading):
+        n = len(leading)
+        return pl.BlockSpec((*leading, LB),
+                            lambda i, _n=n: (*(0,) * _n, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_score_kernel, T=T, C=C, R=R, S=S)
+    lls3, ll0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane_spec((T,)),          # tpl
+            lane_spec((1,)),          # tlen
+            lane_spec((16, 4)),       # ME
+            lane_spec((16, 4)),       # IE
+            lane_spec((16,)),         # DP
+            lane_spec((C, R)),        # reads
+            lane_spec((C,)),          # rl
+        ],
+        out_specs=(lane_spec((16, T + 1)), lane_spec((8,))),
+        out_shape=(jax.ShapeDtypeStruct((16, T + 1, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((4, T + 1, LB), jnp.float32),       # mex
+            pltpu.VMEM((4, T + 1, LB), jnp.float32),       # iex
+            pltpu.VMEM((T + 1, LB), jnp.float32),          # dpx
+            pltpu.VMEM((N_SETS, 4, T, LB), jnp.float32),   # meM
+            pltpu.VMEM((N_SETS, 4, T, LB), jnp.float32),   # ieM
+            pltpu.VMEM((N_SETS, T, LB), jnp.float32),      # dpM
+            pltpu.VMEM((T + 2, S, LB), jnp.float32),       # fcols
+            pltpu.VMEM((T + 2, LB), jnp.float32),          # lsf
+            pltpu.VMEM((T + 1, S, LB), jnp.float32),       # betas
+            pltpu.VMEM((T + 1, LB), jnp.float32),          # lsb
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohd
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohu
+            pltpu.VMEM((16, T + 1, LB), jnp.float32),      # dots
+            pltpu.VMEM((16, T + 1, LB), jnp.float32),      # lsrows
+        ],
+        interpret=interpret,
+    )(tpl_t, tlen_t, ME_t, IE_t, DP_t, reads_t, rl_t)
+
+    # reassemble [B, 9T+4]: slot [k, p] -> m = 9p + k; [0:4, T] = prepends
+    lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 16]
+    reg = lls3[:, :T, :9].reshape(B, 9 * T)
+    pre = lls3[:, T, :4]
+    ll0 = ll0[0, :B]
+    return jnp.concatenate([reg, pre], axis=1), ll0

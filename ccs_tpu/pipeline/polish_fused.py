@@ -1,0 +1,335 @@
+"""Fused exhaustive polish loop (C8/C10) — the production TPU hot path.
+
+Round-1 verdict: the candidate-gather polish loop (pipeline.polish) spent its
+time in XLA gathers over huge column tensors and recompiled per shape. This
+module replaces it with a TPU-first formulation:
+
+- **Exhaustive enumeration**: every polish iteration scores ALL single-point
+  mutations of every window via the alpha/beta column-bridging trick
+  (ops.hmm_cols), so the mutation grid is static — no per-lane top-k gathers,
+  no data-dependent starts. On TPU the whole scorer is one fused Pallas
+  kernel (ops.hmm_score_pallas) that keeps the forward/backward column
+  matrices in VMEM.
+- **Multi-apply**: all improving mutations that are >=3 template positions
+  apart are applied in one iteration (the reference's engine applies batches
+  of spaced mutations per round as well; convergence is still judged on the
+  exact re-scored likelihood each iteration, so the loop terminates exactly
+  when no single mutation improves — /root/reference/docs/
+  how-does-ccs-work.md:96-101).
+- **Free QV**: the final iteration's mutation scores describe the converged
+  template, which is exactly the LL-ratio set QV needs
+  (how-does-ccs-work.md:103-106) — no extra scan.
+
+Mutation enumeration (absolute-base; differs from pipeline.polish's
+relative-base one): m = 9*p + k for template position p in 0..T-1 with
+  k 0..3  substitute base k at p   (k == tpl[p] is invalid — it is a no-op)
+  k 4     delete position p
+  k 5..8  insert base k-5 after p
+plus 4 trailing mutations: prepend base b before position 0.
+M = 9*T + 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30
+KINDS = 9  # 4 sub + 1 del + 4 ins per position
+
+
+# ---------------------------------------------------------------------------
+# scoring: XLA fallback (CPU / oracle) via the tested hmm_cols bridge
+# ---------------------------------------------------------------------------
+
+def score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables,
+                  m_chunk: int = 64):
+    """Score every mutation of the 9-kind enumeration: (lls [B, M], ll0 [B]).
+
+    Pure-XLA reference path, built on ops.hmm_cols (build_columns +
+    mutation_ops_at + bridge_scores). Invalid mutations are NEG.
+    """
+    from ccs_tpu.ops.hmm_cols import (bridge_scores, build_columns,
+                                      mutation_ops_at, prepend_ops)
+    B, T = tpl.shape
+    columns = build_columns(tpl, tlen, snr_bin, reads, rlens, tables)
+    ll0 = columns.ll.sum(-1)
+
+    p = jnp.repeat(jnp.arange(T), KINDS)[None, :]            # [1, 9T]
+    k_new = jnp.tile(jnp.arange(KINDS), T)[None, :]
+    p = jnp.broadcast_to(p, (B, KINDS * T))
+    k_new = jnp.broadcast_to(k_new, (B, KINDS * T))
+    cur = jnp.take_along_axis(tpl.astype(jnp.int32), p, axis=1)
+    # map to pipeline.polish's relative-kind convention used by
+    # mutation_ops_at: sub->(k-cur-1)%4 in 0..2, del->3, ins base k-5 -> k-1.
+    old_kind = jnp.where(k_new <= 3, (k_new - cur - 1) % 4,
+                         jnp.where(k_new == 4, 3, k_new - 1))
+    reg = mutation_ops_at(tpl, tlen, snr_bin, tables, p, old_kind)
+    pre = prepend_ops(tpl, tlen, snr_bin, tables)
+    ops = tuple(jnp.concatenate([r, q], axis=1) for r, q in zip(reg, pre))
+    lls = bridge_scores(reads, rlens, columns, ops, m_chunk=m_chunk)
+    valid = mutation_valid_new(tpl, tlen)
+    return jnp.where(valid, lls, NEG), ll0
+
+
+def mutation_valid_new(tpl, tlen):
+    """Validity mask of the 9-kind enumeration: [B, 9T+4] bool."""
+    B, T = tpl.shape
+    p = jnp.repeat(jnp.arange(T), KINDS)[None, :]
+    k = jnp.tile(jnp.arange(KINDS), T)[None, :]
+    cur = jnp.take_along_axis(
+        tpl.astype(jnp.int32), jnp.broadcast_to(p, (B, KINDS * T)), axis=1)
+    tl = tlen[:, None]
+    v = p < tl
+    v &= jnp.where(k <= 3, k != cur, True)       # sub to self is a no-op
+    v &= jnp.where(k == 4, tl > 1, True)         # keep >=1 base
+    v &= jnp.where(k >= 5, tl < T, True)         # room to grow
+    pre_v = jnp.broadcast_to((tlen < T)[:, None], (B, 4))
+    return jnp.concatenate([v, pre_v], axis=1)
+
+
+def score_all(tpl, tlen, snr_bin, reads, rlens, tables,
+              use_pallas: bool = False, interpret: bool = False):
+    """Dispatch: fused Pallas kernel on TPU, hmm_cols bridge elsewhere."""
+    if use_pallas:
+        from ccs_tpu.ops.hmm_score_pallas import score_all_pallas
+        lls, ll0 = score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
+                                    interpret=interpret)
+        return jnp.where(mutation_valid_new(tpl, tlen), lls, NEG), ll0
+    return score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables)
+
+
+# ---------------------------------------------------------------------------
+# selection: improving, spaced (>=3 apart) mutation set per window
+# ---------------------------------------------------------------------------
+
+def _shift_val(x, off, fill):
+    """x[..., j+off] with fill outside; off may be negative."""
+    if off > 0:
+        return jnp.concatenate(
+            [x[..., off:], jnp.full_like(x[..., :off], fill)], axis=-1)
+    if off < 0:
+        return jnp.concatenate(
+            [jnp.full_like(x[..., :(-off)], fill), x[..., :off]], axis=-1)
+    return x
+
+
+def select_mutations(lls, ll, priority, T: int, thresh: float = 1e-3):
+    """Pick the improving mutation set to apply this iteration.
+
+    Per position, the best of its 9 kinds; then a local-argmax filter with
+    radius 2 (leftmost wins ties) guarantees selected edits are >=3 apart, so
+    their operator changes never overlap. The prepend mutation competes with
+    positions 0..2. Returns (sel [B,T] bool, pkind [B,T], pre_sel [B],
+    pre_base [B], pbest [B,T] delta)."""
+    B = lls.shape[0]
+    reg = lls[:, :KINDS * T].reshape(B, T, KINDS)
+    delta = reg - ll[:, None, None]
+    pbest = delta.max(-1)
+    pkind = delta.argmax(-1).astype(jnp.int32)
+    imp = pbest > thresh
+    if priority is not None:
+        imp &= priority > 0.0                     # C7 candidate mask
+    val = jnp.where(imp, pbest, NEG)
+    sel = imp
+    for off in (1, 2):
+        sel &= val > _shift_val(val, -off, NEG)   # strictly beat left
+        sel &= val >= _shift_val(val, off, NEG)   # ties: left (this j) wins
+
+    pre_delta = lls[:, KINDS * T:] - ll[:, None]              # [B, 4]
+    pre_best = pre_delta.max(-1)
+    pre_base = pre_delta.argmax(-1).astype(jnp.int32)
+    head = jnp.max(val[:, :3], axis=-1)
+    pre_sel = (pre_best > thresh) & (pre_best >= head)
+    sel = sel.at[:, :3].set(jnp.where(pre_sel[:, None], False, sel[:, :3]))
+    return sel, pkind, pre_sel, pre_base, pbest
+
+
+# ---------------------------------------------------------------------------
+# apply: build the multi-edited template with core-offset bookkeeping
+# ---------------------------------------------------------------------------
+
+def apply_mutations(tpl, tlen, cs, ce, priority, sel, pkind, pre_sel,
+                    pre_base, is_first, single=None):
+    """Apply the selected spaced mutation set to each window.
+
+    Falls back to the single best edit when insertions would overflow the
+    template buffer, or when ``single`` [B] bool is set (careful mode: the
+    multi-apply's combined LL change is only approximately the sum of the
+    individual deltas, so a pathological window can cycle; applying one
+    mutation at a time makes the exact LL strictly increase, guaranteeing
+    convergence). Core offsets follow pipeline.polish.apply_mutation's
+    junction convention (insert at core_start grows the left margin; insert
+    at core_end stays in-core). Priority is remapped to the new coordinates
+    with edited neighborhoods re-flagged."""
+    B, T = tpl.shape
+    j = jnp.arange(T)[None, :]
+    in_tpl = j < tlen[:, None]
+
+    op_sub = sel & (pkind <= 3)
+    op_del = sel & (pkind == 4)
+    op_ins = sel & (pkind >= 5)
+
+    # single-edit fallback (any deterministic pick is valid — a single
+    # insertion always fits because ins validity requires tlen < T); the
+    # rest is re-discovered next iteration
+    n_new = (tlen + op_ins.sum(-1) - op_del.sum(-1)
+             + pre_sel.astype(jnp.int32))
+    ovf = n_new > T
+    if single is not None:
+        ovf |= single
+    first_sel = jnp.argmax(sel, axis=-1)
+    sel_single = sel & (j == first_sel[:, None]) & sel.any(-1, keepdims=True)
+    sel = jnp.where(ovf[:, None], jnp.where(pre_sel[:, None], False,
+                                            sel_single), sel)
+    pre_applied = pre_sel  # prepend alone never overflows (needs tlen < T)
+    op_sub = sel & (pkind <= 3)
+    op_del = sel & (pkind == 4)
+    op_ins = sel & (pkind >= 5)
+
+    base1 = jnp.where(op_sub, pkind.astype(jnp.int8), tpl)
+    emit1 = in_tpl & ~op_del
+    emit2 = in_tpl & op_ins
+    ec = emit1.astype(jnp.int32) + emit2.astype(jnp.int32)
+    start = pre_applied[:, None].astype(jnp.int32) + jnp.cumsum(ec, -1) - ec
+    newlen = (pre_applied.astype(jnp.int32) + ec.sum(-1)).astype(jnp.int32)
+
+    bidx = jnp.arange(B)[:, None]
+    out = jnp.full((B, T), -1, jnp.int8)
+    pos1 = jnp.where(emit1, start, T)
+    out = out.at[bidx, pos1].set(base1, mode="drop")
+    pos2 = jnp.where(emit2, start + 1, T)
+    out = out.at[bidx, pos2].set((pkind - 5).astype(jnp.int8), mode="drop")
+    out = jnp.where(pre_applied[:, None] & (j == 0),
+                    pre_base[:, None].astype(jnp.int8), out)
+    out = jnp.where(j < newlen[:, None], out, jnp.int8(-1))
+
+    # core offsets (all deltas in ORIGINAL coordinates, then summed)
+    csn = cs[:, None]
+    cen = ce[:, None]
+    d_cs = ((op_ins & (j + 1 <= csn)).sum(-1)
+            - (op_del & (j < csn)).sum(-1)
+            + (pre_applied & ~(is_first & (cs == 0))).astype(jnp.int32))
+    d_ce = ((op_ins & (j + 1 <= cen)).sum(-1)
+            - (op_del & (j < cen)).sum(-1)
+            + pre_applied.astype(jnp.int32))
+    ncs = cs + d_cs
+    nce = ce + d_ce
+
+    # priority remap: re-flag edited neighborhoods, carry through the scatter
+    if priority is not None:
+        nbh = sel
+        for off in (1, 2):
+            nbh |= _shift_val(sel, off, False) | _shift_val(sel, -off, False)
+        nbh |= pre_applied[:, None] & (j <= 2)
+        pri = jnp.maximum(priority, jnp.where(nbh, 1.0, 0.0))
+        npri = jnp.zeros((B, T), jnp.float32)
+        npri = npri.at[bidx, pos1].set(jnp.where(emit1, pri, 0.0),
+                                       mode="drop")
+        npri = npri.at[bidx, pos2].set(jnp.where(emit2, 1.0, 0.0),
+                                       mode="drop")
+        npri = jnp.where(pre_applied[:, None] & (j == 0), 1.0, npri)
+        npri = jnp.where(j < newlen[:, None], npri, 0.0)
+    else:
+        npri = None
+    return out, newlen, ncs, nce, npri, sel.any(-1) | pre_applied
+
+
+# ---------------------------------------------------------------------------
+# the loop
+# ---------------------------------------------------------------------------
+
+class FusedPolishState(NamedTuple):
+    tpl: jnp.ndarray         # [B, T] int8
+    tlen: jnp.ndarray        # [B] int32
+    core_start: jnp.ndarray  # [B] int32
+    core_end: jnp.ndarray    # [B] int32
+    ll: jnp.ndarray          # [B] f32 exact LL of tpl (from the scorer)
+    lls: jnp.ndarray         # [B, M] mutation scores OF tpl
+    active: jnp.ndarray      # [B] bool
+    n_iter: jnp.ndarray      # [B] int32
+    priority: jnp.ndarray    # [B, T] f32 candidate mask (all-ones = exhaustive)
+
+
+def _qv_from_lls(lls, ll, tpl, tlen):
+    """QV per template position from the sub+del kinds (0..4) of the final
+    mutation scores; the k == tpl[p] slot is the no-op and is excluded."""
+    B, T = tpl.shape
+    sub_del = lls[:, :KINDS * T].reshape(B, T, KINDS)[..., :5]
+    k = jnp.arange(5)[None, None, :]
+    is_self = k == jnp.clip(tpl, 0, 3)[..., None].astype(jnp.int32)
+    delta = jnp.where(is_self, NEG, sub_del - ll[:, None, None])
+    alt = jnp.where(delta > NEG / 2, delta, NEG)
+    s = jnp.exp(jnp.minimum(alt, 30.0)).sum(-1)
+    p_err = s / (1.0 + s)
+    qv = -10.0 * jnp.log10(jnp.maximum(p_err, 1e-9))
+    return jnp.clip(qv, 0.0, 93.0), p_err
+
+
+def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
+                              reads, rlens, tables, max_iters: int = 40,
+                              is_first=None, priority=None,
+                              use_pallas: bool = False,
+                              interpret: bool = False,
+                              thresh: float = 0.02,
+                              careful_after: int = 6):
+    """Exhaustive multi-apply polish until no mutation improves.
+
+    Same contract as pipeline.polish.polish_windows: returns
+    (state, qv [B,T], p_err [B,T]). ``priority`` (C7) acts as a selection
+    mask; None = exhaustive."""
+    B, T = tpl.shape
+    if is_first is None:
+        is_first = jnp.zeros(B, dtype=bool)
+    tlen = tlen.astype(jnp.int32)
+    if priority is None:
+        priority = jnp.ones((B, T), jnp.float32)
+    j = jnp.arange(T)[None, :]
+    priority = jnp.where(j < tlen[:, None], priority.astype(jnp.float32), 0.0)
+
+    def score(t, tl):
+        return score_all(t, tl, snr_bin, reads, rlens, tables,
+                         use_pallas=use_pallas, interpret=interpret)
+
+    lls0, ll0 = score(tpl, tlen)
+    has_cov = (rlens >= 0).any(-1)
+    state = FusedPolishState(
+        tpl=tpl, tlen=tlen, core_start=core_start.astype(jnp.int32),
+        core_end=core_end.astype(jnp.int32), ll=ll0, lls=lls0,
+        active=has_cov, n_iter=jnp.zeros(B, jnp.int32), priority=priority)
+
+    def cond(s):
+        return s.active.any() & (s.n_iter.max() < max_iters)
+
+    def body(s):
+        sel, pkind, pre_sel, pre_base, _ = select_mutations(
+            s.lls, s.ll, s.priority, T, thresh=thresh)
+        sel &= s.active[:, None]
+        pre_sel &= s.active
+        ntpl, nlen, ncs, nce, npri, improved = apply_mutations(
+            s.tpl, s.tlen, s.core_start, s.core_end, s.priority, sel, pkind,
+            pre_sel, pre_base, is_first, single=s.n_iter >= careful_after)
+        m = improved[:, None]
+        tpl2 = jnp.where(m, ntpl, s.tpl)
+        tlen2 = jnp.where(improved, nlen, s.tlen)
+        lls2, ll2 = score(tpl2, tlen2)
+        return FusedPolishState(
+            tpl=tpl2, tlen=tlen2,
+            core_start=jnp.where(improved, ncs, s.core_start),
+            core_end=jnp.where(improved, nce, s.core_end),
+            ll=ll2, lls=lls2, active=improved,
+            n_iter=s.n_iter + s.active.astype(jnp.int32),
+            priority=jnp.where(m, npri, s.priority))
+
+    state = jax.lax.while_loop(cond, body, state)
+    qv, p_err = _qv_from_lls(state.lls, state.ll, state.tpl, state.tlen)
+    return state, qv, p_err
+
+
+polish_windows_fused = jax.jit(
+    polish_windows_fused_impl,
+    static_argnames=("max_iters", "use_pallas", "interpret", "thresh",
+                     "careful_after"))
