@@ -77,8 +77,14 @@ class CcsConfig:
     tpu_window_read_cap: int = 56      # padded read-slice length per window
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
     tpu_polish_k: int = 12             # candidate positions scored per polish
-                                       # iteration (C7 gather width)
-    tpu_bucket_edges: tuple[int, ...] = (2048, 8192, 16384, 32768, 65536)
+                                       # iteration (legacy dense-loop knob)
+    # fixed-shape bucket grid: every device polish call uses one of these
+    # (window count x coverage lanes) shapes, so a full run compiles a small
+    # closed set of programs (SURVEY §7 hard-part 5)
+    tpu_window_buckets: tuple[int, ...] = (256, 2048)
+    tpu_coverage_buckets: tuple[int, ...] = (8, 16, 32)
+    tpu_polish_thresh: float = 0.02    # min LL gain to accept a mutation
+                                       # (must exceed device fp-reduction noise)
     tpu_mesh_shape: Optional[tuple[int, ...]] = None  # None = all local devices
     tpu_band_width: int = 128          # banded full-length alignment band
 

@@ -1,0 +1,75 @@
+"""Native host kernels (C++ via ctypes).
+
+The runtime around the TPU compute path is native where the reference's is
+(SURVEY.md §2.3: the reference statically links SIMD-tuned C++ for its host
+work). The shared library is built on demand from the shipped source with
+the system toolchain and cached; set ``CCS_TPU_NO_NATIVE=1`` to force the
+pure-NumPy fallbacks (used as test oracles).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+logger = logging.getLogger("ccs_tpu")
+
+_HERE = os.path.dirname(__file__)
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build(src: str, out: str) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as exc:  # noqa: BLE001
+        logger.warning("native build failed (%s); using NumPy fallbacks", exc)
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("CCS_TPU_NO_NATIVE"):
+        return None
+    src = os.path.join(_HERE, "align.cpp")
+    candidates = [os.path.join(_HERE, "libccsalign.so")]
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"ccs_tpu_native_{os.getuid()}")
+    os.makedirs(cache, exist_ok=True)
+    candidates.append(os.path.join(cache, "libccsalign.so"))
+    for path in candidates:
+        if (os.path.exists(path)
+                and os.path.getmtime(path) >= os.path.getmtime(src)):
+            try:
+                _LIB = ctypes.CDLL(path)
+                break
+            except OSError:
+                continue
+    if _LIB is None:
+        for path in candidates:
+            if os.access(os.path.dirname(path), os.W_OK) and _build(src, path):
+                _LIB = ctypes.CDLL(path)
+                break
+    if _LIB is not None:
+        fn = _LIB.ccs_edit_align
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # read, R
+            ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+            ctypes.c_void_p, ctypes.c_int64,   # centers, W
+            ctypes.c_int64, ctypes.c_int64,    # sub_cost, gap_cost
+            ctypes.c_void_p,                   # rpos_at
+            ctypes.c_void_p, ctypes.c_void_p,  # ops_rev, ops_len
+            ctypes.c_void_p,                   # n_match
+        ]
+    return _LIB

@@ -59,6 +59,9 @@ def edit_align(read: np.ndarray, tpl: np.ndarray,
     a k-mer anchor chain — makes long-read alignment O(R * W) with a narrow
     W). Returns None if the optimal path escapes the band (caller should
     widen and retry).
+
+    Dispatches to the native C++ kernel (ccs_tpu.native) when available;
+    the NumPy path below is the oracle/fallback (CCS_TPU_NO_NATIVE=1).
     """
     read = np.asarray(read, dtype=np.int8)
     tpl = np.asarray(tpl, dtype=np.int8)
@@ -81,6 +84,13 @@ def edit_align(read: np.ndarray, tpl: np.ndarray,
         centers = np.maximum.accumulate(np.clip(centers, 0, T))
         centers = centers.copy()
         centers[0], centers[-1] = 0, T  # endpoints must be reachable
+
+    from ccs_tpu import native
+    lib = native.load()
+    if lib is not None:
+        return _edit_align_native(lib, read, tpl, centers, W,
+                                  sub_cost, gap_cost)
+
     # D[k] holds cost at column j = centers[i] - W + k
     cols_of = lambda i: centers[i] - W + np.arange(width)
 
@@ -169,6 +179,43 @@ def edit_align(read: np.ndarray, tpl: np.ndarray,
         else:
             cigar.append((1, op))
     return Alignment(score, cigar, rpos_at, n_match)
+
+
+def _edit_align_native(lib, read: np.ndarray, tpl: np.ndarray,
+                       centers: np.ndarray, W: int,
+                       sub_cost: int, gap_cost: int) -> Optional[Alignment]:
+    """ctypes call into ccs_tpu/native/align.cpp (exact same DP/traceback)."""
+    import ctypes
+    R, T = len(read), len(tpl)
+    read = np.ascontiguousarray(read, dtype=np.int8)
+    tpl = np.ascontiguousarray(tpl, dtype=np.int8)
+    centers = np.ascontiguousarray(centers, dtype=np.int64)
+    rpos_at = np.zeros(T + 1, dtype=np.int64)
+    ops_rev = np.empty(R + T + 2, dtype=np.int8)
+    ops_len = np.zeros(1, dtype=np.int64)
+    n_match = np.zeros(1, dtype=np.int64)
+    score = lib.ccs_edit_align(
+        read.ctypes.data_as(ctypes.c_void_p), R,
+        tpl.ctypes.data_as(ctypes.c_void_p), T,
+        centers.ctypes.data_as(ctypes.c_void_p), W,
+        sub_cost, gap_cost,
+        rpos_at.ctypes.data_as(ctypes.c_void_p),
+        ops_rev.ctypes.data_as(ctypes.c_void_p),
+        ops_len.ctypes.data_as(ctypes.c_void_p),
+        n_match.ctypes.data_as(ctypes.c_void_p))
+    if score < 0:
+        return None
+    ops = ops_rev[:int(ops_len[0])][::-1]
+    cigar: list[tuple[int, str]] = []
+    if len(ops):
+        # vectorized run-length encode
+        brk = np.nonzero(np.diff(ops))[0] + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(ops)]])
+        names = {M_DIAG: "M", M_UP: "I", M_LEFT: "D"}
+        cigar = [(int(e - s), names[int(ops[s])])
+                 for s, e in zip(starts, ends)]
+    return Alignment(int(score), cigar, rpos_at, int(n_match[0]))
 
 
 def align_with_retry(read: np.ndarray, tpl: np.ndarray,

@@ -71,6 +71,50 @@ def shard_polish_step(mesh: Mesh, tables: dict, max_iters: int = 40):
     return fn, data
 
 
+def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
+                       use_pallas: bool = False, thresh: float = 0.02):
+    """Sharded fused polish step over the ('zmw',) mesh — the PRODUCT path.
+
+    Window batches shard on their leading axis across all mesh devices
+    (P1/P2); parameter tables replicate (L1). Each shard iterates until its
+    own windows converge — no cross-device lock-step, no collectives needed
+    because ZMWs never communicate (parallelize.md:7-29). Returns a jitted
+    fn(tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority) ->
+    (state, qv). Leading axes must be divisible by the mesh size.
+    """
+    from ccs_tpu.pipeline.polish_fused import polish_windows_fused_impl
+
+    def step(tables_arg, tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first,
+             priority):
+        state, qv, _p_err = polish_windows_fused_impl(
+            tpl, tlen, cs, ce, snr_bin, reads, rlens, tables_arg,
+            max_iters=max_iters, is_first=is_first, priority=priority,
+            use_pallas=use_pallas, thresh=thresh)
+        return state, qv
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_dev == 1:
+        # single device: plain jit — shard_map adds nothing but compile time
+        jfn = jax.jit(step)
+        tables_repl = tables
+    else:
+        smapped = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P(),) + (P("zmw"),) * 9,
+            out_specs=(P("zmw"), P("zmw")),
+            check_vma=False)
+        repl = NamedSharding(mesh, P())
+        tables_repl = jax.device_put(
+            tables, jax.tree.map(lambda _: repl, tables))
+        jfn = jax.jit(smapped)
+
+    def fn(*args):
+        return jfn(tables_repl, *args)
+
+    fn._jitted = jfn  # exposed for compile-cache assertions in tests
+    return fn
+
+
 def device_put_sharded_batch(mesh: Mesh, arrays: tuple):
     """Place host window arrays onto the mesh, sharded over axis 0."""
     data = NamedSharding(mesh, P("zmw"))

@@ -1,11 +1,15 @@
 """Batch engine: concatenate windows from many ZMWs into one device polish.
 
 This is the L5→L3 coupling (SURVEY.md §1 TPU re-layering): the host prepares
-ZMWs (filters/draft/windows), all windows across the batch are flattened into
-one [W_total, ...] device call (window-level data parallelism — the TPU
-analog of the reference's thread pool), and results scatter back per ZMW for
-stitching. Shapes are bucketed (pow2 window count, multiple-of-8 coverage)
-to bound XLA recompilation.
+ZMWs (filters/draft/windows), windows across the batch are flattened into
+fixed-shape [W_bucket, ...] device calls (window-level data parallelism —
+the TPU analog of the reference's thread pool), sharded over the local
+('zmw',) device mesh, and results scatter back per ZMW for stitching.
+
+Shape discipline (SURVEY §7 hard-part 5): every device call uses a shape
+from the closed (cfg.tpu_window_buckets × cfg.tpu_coverage_buckets) grid, so
+a full run compiles a handful of programs regardless of input — round 1
+padded per batch and recompiled constantly.
 """
 
 from __future__ import annotations
@@ -14,13 +18,11 @@ import logging
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ccs_tpu.config import CcsConfig
 from ccs_tpu.models.chemistry import ArrowParams, default_params
 from ccs_tpu.ops import hmm_jax
-from ccs_tpu.pipeline.polish import polish_windows
 from ccs_tpu.pipeline.zmw import (ConsensusResult, ZmwInput, ZmwWorkItem,
                                   finalize_zmw, prepare_zmw)
 from ccs_tpu.statuses import ZmwStatus
@@ -28,21 +30,41 @@ from ccs_tpu.statuses import ZmwStatus
 logger = logging.getLogger("ccs_tpu")
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
 class CcsEngine:
-    """Stateless-per-batch CCS engine over one set of Arrow parameters."""
+    """Stateless-per-batch CCS engine over one set of Arrow parameters.
+
+    Devices: all local devices form a 1-D ('zmw',) mesh
+    (faq/parallelize.md:7-29 — ZMWs are embarrassingly parallel); window
+    batches shard over it, parameter tables replicate.
+    """
 
     def __init__(self, cfg: Optional[CcsConfig] = None,
-                 params: Optional[ArrowParams] = None):
+                 params: Optional[ArrowParams] = None,
+                 devices=None):
+        from ccs_tpu.parallel.mesh import make_zmw_mesh, shard_fused_polish
         self.cfg = (cfg or CcsConfig()).resolve_mode_all()
         self.params = params or default_params()
         self.tables = hmm_jax.params_to_device(self.params)
+        if devices is None:
+            devices = jax.local_devices()
+        if self.cfg.tpu_mesh_shape is not None:
+            devices = devices[:int(np.prod(self.cfg.tpu_mesh_shape))]
+        self.mesh = make_zmw_mesh(devices=devices)
+        self.n_dev = len(devices)
+        use_pallas = devices[0].platform == "tpu"
+        self._polish_step = shard_fused_polish(
+            self.mesh, self.tables,
+            max_iters=self.cfg.max_polish_iterations,
+            use_pallas=use_pallas, thresh=self.cfg.tpu_polish_thresh)
+        # bucket grids (window counts rounded up to mesh divisibility)
+        self.w_buckets = tuple(sorted(
+            -(-w // self.n_dev) * self.n_dev
+            for w in self.cfg.tpu_window_buckets))
+        cap = self.cfg.tpu_window_coverage_cap
+        self.c_buckets = tuple(
+            c for c in sorted(self.cfg.tpu_coverage_buckets) if c <= cap)
+        if not self.c_buckets or self.c_buckets[-1] < cap:
+            self.c_buckets = self.c_buckets + (cap,)
 
     def process_batch(self, zmws: Sequence[ZmwInput]) -> list[ConsensusResult]:
         """Process a batch of ZMWs end to end. Order-preserving. In
@@ -91,81 +113,112 @@ class CcsEngine:
 
         live = [it for it in items if not it.terminal]
         if live:
-            # C7 candidate filtering is a speed heuristic; tandem-repeat ZMWs
-            # implicitly disable it (low-complexity.md:15-17), --disable-
-            # heuristics globally. Those windows run the exhaustive scan.
-            fast = [it for it in live if not (
-                self.cfg.disable_heuristics or it.result.has_tandem_repeat)]
-            full = [it for it in live if (
-                self.cfg.disable_heuristics or it.result.has_tandem_repeat)]
-            if fast:
-                self._polish_live(fast, heuristics=True)
-            if full:
-                self._polish_live(full, heuristics=False)
+            self._polish_live(live)
         return [it.result for it in items]
 
     # -- device phase --
-    def _polish_live(self, live: list[ZmwWorkItem],
-                     heuristics: bool = True) -> None:
+    def _c_bucket(self, c: int) -> int:
+        for cb in self.c_buckets:
+            if c <= cb:
+                return cb
+        logger.warning(
+            "window coverage %d exceeds tpu_window_coverage_cap %d; "
+            "extra passes are dropped for polishing (raise the cap or "
+            "--top-passes to keep them)", c, self.c_buckets[-1])
+        return self.c_buckets[-1]
+
+    def _polish_live(self, live: list[ZmwWorkItem]) -> None:
+        """Flatten windows into fixed-shape bucketed chunks, polish on the
+        mesh, scatter results back per ZMW, finalize."""
+        cfg = self.cfg
+        t_cap = cfg.tpu_window_tpl_cap
+
+        # rows: (item, window index, exhaustive?) grouped by coverage bucket
+        by_cb: dict[int, list[tuple[ZmwWorkItem, int, bool]]] = {}
+        stage: dict[int, dict] = {}
+        for it in live:
+            b = it.batch
+            exhaustive = (cfg.disable_heuristics
+                          or it.result.has_tandem_repeat)
+            cb = self._c_bucket(int(b.reads.shape[1]))
+            rows = by_cb.setdefault(cb, [])
+            for w in range(len(b.windows)):
+                rows.append((it, w, exhaustive))
+            n = len(b.windows)
+            stage[id(it)] = {
+                "tpl": np.full((n, t_cap), -1, np.int8),
+                "tlen": np.ones(n, np.int32),
+                "cs": np.zeros(n, np.int32),
+                "ce": np.zeros(n, np.int32),
+                "qv": np.zeros((n, t_cap), np.float32),
+                "conv": np.ones(n, bool),
+            }
+
+        for cb, rows in sorted(by_cb.items()):
+            pos = 0
+            while pos < len(rows):
+                take = min(len(rows) - pos, self.w_buckets[-1])
+                chunk = rows[pos:pos + take]
+                pos += take
+                self._run_chunk(chunk, cb, stage)
+
+        for it in live:
+            st = stage[id(it)]
+            try:
+                it.result = finalize_zmw(
+                    it, st["tpl"], st["tlen"], st["cs"], st["ce"],
+                    st["qv"], st["conv"], self.cfg)
+            except Exception:  # noqa: BLE001
+                logger.exception("finalize failed for ZMW %s", it.zmw.hole)
+                it.result.status = ZmwStatus.EXCEPTION_THROWN
+
+    def _run_chunk(self, chunk, c_pad: int, stage: dict) -> None:
         cfg = self.cfg
         t_cap = cfg.tpu_window_tpl_cap
         r_cap = cfg.tpu_window_read_cap
-        counts = [len(it.batch.windows) for it in live]
-        W_total = sum(counts)
-        W_pad = _next_pow2(max(W_total, 8))
-        C_max = max(int(it.batch.reads.shape[1]) for it in live)
-        C_pad = ((max(C_max, 1) + 7) // 8) * 8
+        W = next(wb for wb in self.w_buckets if wb >= len(chunk))
 
-        tpl = np.full((W_pad, t_cap), -1, np.int8)
-        tlen = np.ones(W_pad, np.int32)
-        cs = np.zeros(W_pad, np.int32)
-        ce = np.zeros(W_pad, np.int32)
-        snr_bin = np.zeros(W_pad, np.int32)
-        reads = np.full((W_pad, C_pad, r_cap), -1, np.int8)
-        rlens = np.full((W_pad, C_pad), -1, np.int32)
-        is_first = np.zeros(W_pad, dtype=bool)
-        priority = np.zeros((W_pad, t_cap), np.float32)
+        tpl = np.full((W, t_cap), -1, np.int8)
+        tlen = np.ones(W, np.int32)
+        cs = np.zeros(W, np.int32)
+        ce = np.zeros(W, np.int32)
+        snr_bin = np.zeros(W, np.int32)
+        reads = np.full((W, c_pad, r_cap), -1, np.int8)
+        rlens = np.full((W, c_pad), -1, np.int32)
+        is_first = np.zeros(W, dtype=bool)
+        priority = np.zeros((W, t_cap), np.float32)
 
-        off = 0
-        for it in live:
+        for i, (it, w, exhaustive) in enumerate(chunk):
             b = it.batch
-            n = len(b.windows)
             c = b.reads.shape[1]
-            is_first[off] = True
-            tpl[off:off + n] = b.tpl
-            tlen[off:off + n] = b.tlen
-            cs[off:off + n] = b.core_start
-            ce[off:off + n] = b.core_end
-            snr_bin[off:off + n] = it.snr_bin
-            reads[off:off + n, :c] = b.reads
-            rlens[off:off + n, :c] = b.rlens
-            priority[off:off + n] = b.priority
-            off += n
+            cc = min(c, c_pad)
+            tpl[i] = b.tpl[w]
+            tlen[i] = b.tlen[w]
+            cs[i] = b.core_start[w]
+            ce[i] = b.core_end[w]
+            snr_bin[i] = it.snr_bin
+            reads[i, :cc] = b.reads[w, :cc]
+            rlens[i, :cc] = b.rlens[w, :cc]
+            is_first[i] = (w == 0)
+            if exhaustive:
+                priority[i] = 1.0
+            else:
+                priority[i] = b.priority[w]
 
-        state, qv, _p_err = polish_windows(
-            jnp.asarray(tpl), jnp.asarray(tlen), jnp.asarray(cs),
-            jnp.asarray(ce), jnp.asarray(snr_bin), jnp.asarray(reads),
-            jnp.asarray(rlens), self.tables,
-            max_iters=cfg.max_polish_iterations,
-            is_first=jnp.asarray(is_first),
-            heuristics=heuristics, k_cand=cfg.tpu_polish_k,
-            priority=jnp.asarray(priority) if heuristics else None)
+        state, qv = self._polish_step(
+            tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority)
         out_tpl = np.asarray(state.tpl)
         out_tlen = np.asarray(state.tlen)
         out_cs = np.asarray(state.core_start)
         out_ce = np.asarray(state.core_end)
         out_qv = np.asarray(qv)
-        # a window is non-convergent if it was still active at the iter cap
         nonconv = np.asarray(state.active)
 
-        off = 0
-        for it, n in zip(live, counts):
-            sl = slice(off, off + n)
-            try:
-                it.result = finalize_zmw(
-                    it, out_tpl[sl], out_tlen[sl], out_cs[sl], out_ce[sl],
-                    out_qv[sl], ~nonconv[sl], self.cfg)
-            except Exception:  # noqa: BLE001
-                logger.exception("finalize failed for ZMW %s", it.zmw.hole)
-                it.result.status = ZmwStatus.EXCEPTION_THROWN
-            off += n
+        for i, (it, w, _ex) in enumerate(chunk):
+            st = stage[id(it)]
+            st["tpl"][w] = out_tpl[i]
+            st["tlen"][w] = out_tlen[i]
+            st["cs"][w] = out_cs[i]
+            st["ce"][w] = out_ce[i]
+            st["qv"][w] = out_qv[i]
+            st["conv"][w] = not nonconv[i]
