@@ -1,19 +1,26 @@
-"""Benchmark: Arrow polish throughput on one TPU chip.
+"""Benchmark: production-path CCS throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: consensus throughput of the device polish phase (the compute that is
->95% of the reference's CPU time and the part PacBio moved to GPUs on Revio;
-/root/reference/docs/faq/revio.md:14-27), expressed as 1kb-insert ZMWs/sec/chip.
+Two measurements (VERDICT r1 item 2 — bench the real thing):
 
-Baseline: ccs v6.2.0 HG002 15kb = 2,832,543 HiFi reads in 4h49m on 256
-threads (docs/faq/performance.md:48-54) ≈ 163 ZMWs/s ≈ 2.45 Mbases
-consensus/s per *node*. vs_baseline = our consensus bases/s per chip over
-the reference's bases/s per node.
+1. **Polish phase** through the engine's sharded fused step at production
+   shapes (W=2048 windows x C=16 lanes x T=48 x R=56, simulator reads,
+   ~0.5 injected errors/window) — the component PacBio moved to GPUs on
+   Revio (/root/reference/docs/faq/revio.md:14-27).
+2. **End-to-end CLI**: simulated 2 kb/10-pass ZMWs (BASELINE config 2)
+   through prepare -> polish -> stitch via the threaded orchestrator,
+   reported as ZMWs/s and consensus Mbases/s.
 
-Design notes: one fixed compiled shape (remote compile over the axon tunnel
-is slow and variance-heavy), steady-state timing over several dispatches.
+Baseline: ccs v6.2.0 HG002 15kb = 2,832,543 HiFi reads in 4h49m on a
+256-thread node (docs/faq/performance.md:48-54) ~= 163 ZMW/s ~= 2.45
+Mbases consensus/s per *node*. vs_baseline = our end-to-end consensus
+bases/s on ONE chip (plus this container's 2 host cores) over the
+reference's bases/s per 256-thread node.
+
+The axon tunnel imposes a large one-time first-execution cost per kernel
+(server-side Mosaic compile, cached across processes); warmup is untimed.
 """
 
 from __future__ import annotations
@@ -24,78 +31,134 @@ import time
 
 import numpy as np
 
-# steady-state shape: 512 windows x 16 subread lanes ≈ 11 concurrent
-# 1kb-inserts' worth of windows per dispatch
-B, C, T_CAP, R_CAP = 512, 16, 48, 56
-MAX_ITERS = 8
-WINDOW_CORE = 22  # consensus bases emitted per window
+W, C, T_CAP, R_CAP = 2048, 16, 48, 56
+WINDOW_CORE = 22
+E2E_ZMWS = 400
+E2E_INSERT = 2000
+E2E_PASSES = 10
 BASELINE_BASES_PER_S = 2_832_543 * 15_000 / (4 * 3600 + 49 * 60)  # ≈2.45e6
 
 
-def make_batch(seed: int, params, jnp):
+def polish_phase_bench(eng, params, log):
+    """Windows/s of the engine's sharded fused polish step."""
+    import jax
     from ccs_tpu.sim.simulator import simulate_read
-    rng = np.random.default_rng(seed)
-    tpl = np.full((B, T_CAP), -1, np.int8)
-    tlen = np.zeros(B, np.int32)
-    reads = np.full((B, C, R_CAP), -1, np.int8)
-    rlens = np.full((B, C), -1, np.int32)
-    snr_bin = np.full(B, 4, np.int32)
-    for b in range(B):
-        tl = int(rng.integers(24, 31))
+    rng = np.random.default_rng(0)
+    tpl = np.full((W, T_CAP), -1, np.int8)
+    tlen = np.zeros(W, np.int32)
+    reads = np.full((W, C, R_CAP), -1, np.int8)
+    rlens = np.full((W, C), -1, np.int32)
+    snr_bin = np.full(W, 4, np.int32)
+    for b in range(W):
+        tl = int(rng.integers(26, 33))
         t = rng.integers(0, 4, tl).astype(np.int8)
         corrupt = t.copy()
-        p = int(rng.integers(0, tl))
-        corrupt[p] = (corrupt[p] + 1) % 4  # ~1 error/window: realistic work
+        for _ in range(int(rng.integers(0, 2))):
+            p = int(rng.integers(0, tl))
+            corrupt[p] = (corrupt[p] + 1) % 4
         tpl[b, :tl] = corrupt
         tlen[b] = tl
         for c in range(C):
             r = simulate_read(t, params, 4, rng)[:R_CAP]
             reads[b, c, :len(r)] = r
             rlens[b, c] = len(r)
-    cs = np.full(B, 4, np.int32)
+    cs = np.full(W, 4, np.int32)
     ce = tlen - 4
-    return [jnp.asarray(x) for x in
-            (tpl, tlen, cs, ce, snr_bin, reads, rlens)]
+    is_first = np.zeros(W, bool)
+    priority = np.ones((W, T_CAP), np.float32)
+
+    def call():
+        state, qv = eng._polish_step(tpl, tlen, cs, ce, snr_bin, reads,
+                                     rlens, is_first, priority)
+        np.asarray(state.tpl)  # real wait (block_until_ready is lazy on axon)
+        return state
+
+    t0 = time.time()
+    state = call()
+    log(f"polish warmup (compile + first exec): {time.time()-t0:.1f}s; "
+        f"iters={int(np.asarray(state.n_iter).max())}")
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        call()
+        times.append(time.time() - t0)
+    dt = min(times)
+    win_per_s = W / dt
+    log(f"polish steady: {dt*1000:.0f} ms / {W} windows x {C} lanes "
+        f"= {win_per_s:.0f} windows/s")
+    return win_per_s
+
+
+def e2e_bench(eng, log):
+    """End-to-end ZMWs/s through the threaded orchestrator."""
+    from ccs_tpu.pipeline.orchestrator import run_pipeline
+    from ccs_tpu.pipeline.zmw import Subread, ZmwInput
+    from ccs_tpu.sim.simulator import simulate_zmw
+
+    def zin(z):
+        subs, qpos = [], 0
+        for read, cx in zip(z.subreads, z.cx):
+            subs.append(Subread(seq=read, cx=cx, qs=qpos,
+                                qe=qpos + len(read)))
+            qpos += len(read) + 40
+        return ZmwInput(hole=z.hole, movie="m_bench", subreads=subs,
+                        snr=z.snr)
+
+    t0 = time.time()
+    zmws = [zin(simulate_zmw(hole=h, insert_len=E2E_INSERT,
+                             n_passes=E2E_PASSES, snr=9.0))
+            for h in range(E2E_ZMWS)]
+    log(f"simulated {E2E_ZMWS} x {E2E_INSERT//1000} kb ZMWs "
+        f"in {time.time()-t0:.0f}s")
+
+    # warmup: push a small slice through so every bucket program is compiled
+    out: list = []
+    run_pipeline(eng, iter(zmws[:16]), lambda r, n: out.extend(r),
+                 batch_size=128, num_threads=0, input_buffer=4)
+
+    out = []
+    t0 = time.time()
+    run_pipeline(eng, iter(zmws), lambda r, n: out.extend(r),
+                 batch_size=128, num_threads=0, input_buffer=4)
+    dt = time.time() - t0
+    n_ok = sum(1 for r in out
+               if r.status.name == "SUCCESS" and r.seq is not None)
+    bases = sum(len(r.seq) for r in out if r.seq is not None)
+    log(f"e2e steady: {dt:.1f}s for {E2E_ZMWS} ZMWs -> {n_ok} HiFi reads, "
+        f"{bases/1e6:.2f} Mbases")
+    assert n_ok >= E2E_ZMWS * 0.9, f"only {n_ok}/{E2E_ZMWS} succeeded"
+    return E2E_ZMWS / dt, bases / dt
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
+    from ccs_tpu.config import CcsConfig
     from ccs_tpu.models.chemistry import default_params
-    from ccs_tpu.ops.hmm_jax import params_to_device
-    from ccs_tpu.pipeline.polish import polish_windows
+    from ccs_tpu.pipeline.engine import CcsEngine
 
+    def log(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    log(f"device: {jax.devices()[0]}")
     params = default_params()
-    tables = params_to_device(params)
-    batches = [make_batch(s, params, jnp) for s in range(4)]
+    eng = CcsEngine(CcsConfig(), params)
 
-    t0 = time.time()
-    state, qv, _ = polish_windows(*batches[0], tables, max_iters=MAX_ITERS)
-    _ = np.asarray(state.tpl)
-    warm = time.time() - t0
-    print(f"# warmup (compile + first run): {warm:.1f}s on "
-          f"{jax.devices()[0]}", file=sys.stderr)
+    win_per_s = polish_phase_bench(eng, params, log)
+    zmw_per_s, bases_per_s = e2e_bench(eng, log)
 
-    times = []
-    for a in batches[1:]:
-        t0 = time.time()
-        state, qv, _ = polish_windows(*a, tables, max_iters=MAX_ITERS)
-        _ = np.asarray(state.tpl)
-        _ = np.asarray(qv)
-        times.append(time.time() - t0)
-    dt = min(times)
-    windows_per_s = B / dt
-    bases_per_s = windows_per_s * WINDOW_CORE
-    zmw1kb_per_s = bases_per_s / 1000.0
+    # a 15 kb ZMW is ~682 windows; polish-phase ceiling in those units:
+    polish_zmw15k_per_s = win_per_s / (15_000 / WINDOW_CORE)
     vs_baseline = bases_per_s / BASELINE_BASES_PER_S
-    print(f"# steady-state: {dt*1000:.0f} ms/batch, "
-          f"{windows_per_s:.0f} windows/s, {bases_per_s/1e6:.2f} Mbase/s",
-          file=sys.stderr)
+    log(f"polish-phase ceiling: {polish_zmw15k_per_s:.1f} 15kb-ZMW/s/chip; "
+        f"e2e {zmw_per_s:.1f} x {E2E_INSERT//1000}kb-ZMW/s")
     print(json.dumps({
-        "metric": "ZMWs/sec/chip (polish phase, 1kb-insert equivalent)",
-        "value": round(zmw1kb_per_s, 2),
+        "metric": "end-to-end consensus throughput (2kb ZMWs, 1 chip + 2-core host)",
+        "value": round(zmw_per_s, 2),
         "unit": "zmw/s",
         "vs_baseline": round(vs_baseline, 4),
+        "e2e_mbases_per_s": round(bases_per_s / 1e6, 3),
+        "polish_windows_per_s": round(win_per_s, 0),
+        "polish_15kb_zmw_per_s_ceiling": round(polish_zmw15k_per_s, 1),
     }))
 
 

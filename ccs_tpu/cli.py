@@ -272,12 +272,8 @@ def run(argv: Optional[list[str]] = None) -> int:
     fastq_path = cfg.fastq or (out if want_fastq_main else None)
     fastq_writer = FastqWriter(fastq_path) if fastq_path else None
 
-    batch: list[ZmwInput] = []
-
-    def flush_batch():
-        if not batch:
-            return
-        results = engine.process_batch(batch)
+    def emit(results, n_in):
+        # writer-thread stage (P4): BAM/FASTQ encode + stats, input order
         n_ccs = 0
         for res in results:
             stats.add(res)
@@ -286,18 +282,16 @@ def run(argv: Optional[list[str]] = None) -> int:
                 n_ccs += 1
                 rec = result_to_record(res, rg_ids)
                 if bam_writer:
-                    voff = bam_writer.write_record(rec)
+                    bam_writer.write_record(rec)
                     written_records.append(rec)
                 if fastq_writer:
                     fastq_writer.write(rec.name, res.seq, bin_qvs(res.qv))
-        progress.update(len(batch), n_ccs)
-        batch.clear()
+        progress.update(n_in, n_ccs)
 
-    for zmw in iter_zmws(reader, movie, holes=holes):
-        batch.append(zmw)
-        if len(batch) >= cfg.batch_size:
-            flush_batch()
-    flush_batch()
+    from ccs_tpu.pipeline.orchestrator import run_pipeline
+    run_pipeline(engine, iter_zmws(reader, movie, holes=holes), emit,
+                 batch_size=cfg.batch_size, num_threads=cfg.num_threads,
+                 input_buffer=cfg.input_buffer)
     reader.close()
 
     # --- outputs ---

@@ -70,6 +70,12 @@ class CcsEngine:
         """Process a batch of ZMWs end to end. Order-preserving. In
         --by-strand mode each input ZMW yields up to two results
         (/fwd and /rev; mode-by-strand.md:7-23)."""
+        return self.finalize_batch(self.prepare_batch(zmws))
+
+    def prepare_batch(self, zmws: Sequence[ZmwInput]) -> list[ZmwWorkItem]:
+        """Host phase: filters/draft/align/window for a batch (thread-safe —
+        pure per-ZMW work, no engine state mutation). Runs on the prepare
+        pool of the orchestrator (P4)."""
         work: list[tuple[ZmwInput, str]] = []
         for z in zmws:
             if self.cfg.by_strand:
@@ -110,7 +116,10 @@ class CcsEngine:
                 continue
             item.result.strand = strand
             items.append(item)
+        return items
 
+    def finalize_batch(self, items: list[ZmwWorkItem]) -> list[ConsensusResult]:
+        """Device phase + stitch: polish all live items, return results."""
         live = [it for it in items if not it.terminal]
         if live:
             self._polish_live(live)
