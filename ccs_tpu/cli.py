@@ -31,6 +31,7 @@ from ccs_tpu.pipeline.qvbin import bin_qvs
 from ccs_tpu.pipeline.zmw import ConsensusResult, Subread, ZmwInput
 from ccs_tpu.report.metrics import ProgressReporter, write_zmw_metrics
 from ccs_tpu.report.stats import (RunStats, format_ccs_report,
+                                  format_ccs_report_strand,
                                   format_summary_log, hifi_summary_dict,
                                   report_json_dict)
 from ccs_tpu.statuses import ZmwStatus
@@ -77,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-file", type=str, default=None)
     p.add_argument("--stderr-json-log", action="store_true")
     p.add_argument("--refresh-rate", type=float, default=5.0)
+    p.add_argument("--tpu-resume-dir", type=str, default=None,
+                   help="checkpoint directory: batches write durably here "
+                        "with a watermark; rerunning with the same dir "
+                        "resumes after the last flushed batch")
+    p.add_argument("--tpu-control-fasta", type=str, default=None,
+                   help="spike-in control reference (fail-reads 0x2); "
+                        "defaults to controls.fasta in "
+                        "$SMRT_CHEMISTRY_BUNDLE_DIR if present")
     p.add_argument("--version", action="version", version=__version__)
     return p
 
@@ -110,6 +119,8 @@ def config_from_args(args: argparse.Namespace) -> CcsConfig:
         log_level=args.log_level, log_file=args.log_file,
         stderr_json_log=args.stderr_json_log,
         refresh_rate=args.refresh_rate,
+        tpu_control_fasta=args.tpu_control_fasta,
+        tpu_resume_dir=args.tpu_resume_dir,
     )
     return cfg
 
@@ -188,6 +199,34 @@ def result_to_record(res: ConsensusResult, rg_ids: dict[str, str]) -> BamRecord:
     return rec
 
 
+def fail_record(res: ConsensusResult,
+                rg_ids: dict[str, str]) -> Optional[BamRecord]:
+    """One ff-tagged representative per failed ZMW for fail_reads.bam
+    (fail-reads.md:7-21): the consensus if one exists (e.g. below --min-rq,
+    adapter classes, controls), else the median full-length subread (0x8).
+    Returns None when the ZMW has no representative at all."""
+    rep = res.seq if res.seq is not None else res.fail_rep
+    if rep is None or len(rep) == 0:
+        return None
+    rg_id = rg_ids.get(res.strand, rg_ids.get("", "ccstpu01"))
+    name = f"{res.movie}/{res.hole}/ccs"
+    if res.strand:
+        name += f"/{res.strand}"
+    if res.qv is not None and len(res.qv) == len(rep):
+        qual = bin_qvs(res.qv)
+    else:
+        qual = np.full(len(rep), 10.0, np.float32)  # '+' = QV10
+    rec = BamRecord(name=name, seq=rep, qual=qual)
+    rec.set_tag("ff", "i", int(res.ff))
+    rec.set_tag("np", "i", int(res.num_passes))
+    rec.set_tag("rq", "f", float(res.rq))
+    rec.set_tag("zm", "i", int(res.hole))
+    if res.snr is not None:
+        rec.set_tag("sn", "B", np.asarray(res.snr, np.float32), "f")
+    rec.set_tag("RG", "Z", rg_id.encode())
+    return rec
+
+
 def run(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -197,6 +236,24 @@ def run(argv: Optional[list[str]] = None) -> int:
     logging.basicConfig(
         level=level, format="%(asctime)s %(levelname)s %(message)s",
         **log_kwargs)
+    logging.getLogger().setLevel(level)  # basicConfig no-ops if configured
+    if cfg.stderr_json_log:
+        # structured log protocol (sqiie.md:46): one JSON object per line
+        class _JsonFormatter(logging.Formatter):
+            def format(self, record):
+                return json.dumps({
+                    "timestamp": self.formatTime(record),
+                    "level": record.levelname,
+                    "message": record.getMessage(),
+                    "component": record.name,
+                })
+        handler = logging.StreamHandler(sys.stderr)
+        handler.setFormatter(_JsonFormatter())
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            if isinstance(h, logging.StreamHandler) and not cfg.log_file:
+                root.removeHandler(h)
+        root.addHandler(handler)
 
     out = cfg.output
     prefix = out
@@ -268,48 +325,131 @@ def run(argv: Optional[list[str]] = None) -> int:
                              version=__version__)
 
     bam_writer = BamWriter(bam_path, header) if bam_path else None
+    # Revio layout: one fail_reads.bam per hifi BAM with ff-tagged
+    # representatives (fail-reads.md:7-21, revio.md:61-76)
+    fail_writer = BamWriter(f"{prefix}.fail_reads.bam", header) \
+        if bam_path else None
     written_records: list[BamRecord] = []
     fastq_path = cfg.fastq or (out if want_fastq_main else None)
     fastq_writer = FastqWriter(fastq_path) if fastq_path else None
 
+    # checkpoint/resume: durable per-batch temp writes + watermark (SURVEY §5)
+    ckpt = None
+    if cfg.tpu_resume_dir:
+        from ccs_tpu.pipeline.checkpoint import Checkpointer
+        ckpt = Checkpointer(cfg.tpu_resume_dir, header)
+        if ckpt.next_batch:
+            stats.merge(ckpt.completed_stats())
+            logger.info("Resuming: %d batches flushed, watermark hole %s",
+                        ckpt.next_batch, ckpt.resume_hole)
+
+    # C17 CLR subsampling: deterministic per-hole hash keeps the sampled set
+    # stable across --chunk splits and reruns (changelog.md:28,37)
+    clr_holes: list[int] = []
+
+    def _clr_sampled(hole: int) -> bool:
+        if cfg.subsample_clr_perc <= 0:
+            return False
+        h = (int(hole) * 2654435761) & 0xFFFFFFFF
+        return h / 2**32 < cfg.subsample_clr_perc / 100.0
+
     def emit(results, n_in):
         # writer-thread stage (P4): BAM/FASTQ encode + stats, input order
         n_ccs = 0
+        delta = RunStats(collect_metrics=stats.collect_metrics) if ckpt \
+            else stats
+        delta.add_zmws(n_in)
+        batch_recs: list[BamRecord] = []
+        batch_fails: list[BamRecord] = []
+        last_hole = -1
         for res in results:
-            stats.add(res)
+            delta.add(res)
+            last_hole = max(last_hole, int(res.hole))
+            if res.status == ZmwStatus.SUCCESS and not res.strand \
+                    and _clr_sampled(res.hole):
+                clr_holes.append(int(res.hole))
             if res.status in (ZmwStatus.SUCCESS, ZmwStatus.LOW_PASS_SHORTCUT) \
                     and res.seq is not None:
                 n_ccs += 1
                 rec = result_to_record(res, rg_ids)
-                if bam_writer:
-                    bam_writer.write_record(rec)
-                    written_records.append(rec)
-                if fastq_writer:
-                    fastq_writer.write(rec.name, res.seq, bin_qvs(res.qv))
+                if ckpt:
+                    batch_recs.append(rec)
+                else:
+                    if bam_writer:
+                        bam_writer.write_record(rec)
+                        written_records.append(rec)
+                    if fastq_writer:
+                        fastq_writer.write(rec.name, res.seq, bin_qvs(res.qv))
+            else:
+                frec = fail_record(res, rg_ids)
+                if frec is not None:
+                    if ckpt:
+                        batch_fails.append(frec)
+                    elif fail_writer is not None:
+                        fail_writer.write_record(frec)
+        if ckpt:
+            ckpt.write_batch(batch_recs, batch_fails, delta, last_hole)
+            stats.merge(delta)
         progress.update(n_in, n_ccs)
 
+    zmw_stream = iter_zmws(reader, movie, holes=holes)
+    if ckpt is not None and ckpt.resume_hole is not None:
+        zmw_stream = (z for z in zmw_stream if not ckpt.should_skip(z.hole))
     from ccs_tpu.pipeline.orchestrator import run_pipeline
-    run_pipeline(engine, iter_zmws(reader, movie, holes=holes), emit,
+    run_pipeline(engine, zmw_stream, emit,
                  batch_size=cfg.batch_size, num_threads=cfg.num_threads,
                  input_buffer=cfg.input_buffer)
     reader.close()
 
     # --- outputs ---
+    if ckpt is not None:
+        # merge the durable batch files into the final outputs (the
+        # reference's TMPDIR temp-write + merge, changelog.md:47)
+        for rec in ckpt.iter_batch_records():
+            if bam_writer:
+                bam_writer.write_record(rec)
+                written_records.append(rec)
+            if fastq_writer:
+                fastq_writer.write(rec.name, rec.seq, rec.qual)
+        if fail_writer:
+            for rec in ckpt.iter_batch_records(fail=True):
+                fail_writer.write_record(rec)
     if bam_writer:
         voffs = list(bam_writer.voffsets)
         bam_writer.close()
         write_pbi(bam_path + ".pbi",
                   build_index_from_records(written_records, voffs))
+    if fail_writer:
+        fail_writer.close()
     if fastq_writer:
         fastq_writer.close()
     if want_xml:
         write_consensusreadset(out, bam_path, len(written_records),
                                sum(len(r.seq) for r in written_records))
 
+    if cfg.subsample_clr_perc > 0 and isinstance(src, str):
+        from ccs_tpu.io.datasetxml import write_subreadset
+        clr_xml = cfg.subsample_clr_file or f"{prefix}.subsampled.subreadset.xml"
+        write_subreadset(clr_xml, os.path.abspath(src), sorted(set(clr_holes)))
+        if pbi_path and os.path.exists(pbi_path):
+            from ccs_tpu.io.pbi import filter_pbi
+            sub_idx = filter_pbi(read_pbi(pbi_path), set(clr_holes))
+            write_pbi(clr_xml + ".pbi", sub_idx)
+        logger.info("CLR subsample: %d productive ZMWs -> %s",
+                    len(set(clr_holes)), clr_xml)
+
     if not cfg.suppress_reports or cfg.report_file:
         path = cfg.report_file or f"{prefix}.ccs_report.txt"
         with open(path, "w") as fh:
-            fh.write(format_ccs_report(stats))
+            if cfg.hd_finder:
+                # two-column DS/SS reads variant
+                # (mode-heteroduplex-filtering.md:85-117)
+                fh.write(format_ccs_report_strand(stats, two_column=True))
+            elif cfg.by_strand:
+                # single-strand reads variant (mode-by-strand.md:58-89)
+                fh.write(format_ccs_report_strand(stats, two_column=False))
+            else:
+                fh.write(format_ccs_report(stats))
     if cfg.report_json:
         with open(cfg.report_json, "w") as fh:
             json.dump(report_json_dict(stats), fh, indent=2)
@@ -319,8 +459,12 @@ def run(argv: Optional[list[str]] = None) -> int:
     if cfg.hifi_summary_json:
         with open(cfg.hifi_summary_json, "w") as fh:
             json.dump(hifi_summary_dict(stats), fh, indent=2)
+    if ckpt is not None:
+        ckpt.cleanup()  # run completed; temp batches are merged
     if level <= logging.INFO:
-        print(format_summary_log(stats), file=sys.stderr)
+        print(format_summary_log(
+            stats, strand_aware=cfg.by_strand or cfg.hd_finder),
+            file=sys.stderr)
     return 0
 
 

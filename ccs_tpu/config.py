@@ -86,6 +86,11 @@ class CcsConfig:
     tpu_polish_thresh: float = 0.02    # min LL gain to accept a mutation
                                        # (must exceed device fp-reduction noise)
     tpu_mesh_shape: Optional[tuple[int, ...]] = None  # None = all local devices
+    tpu_resume_dir: Optional[str] = None     # checkpoint/resume directory
+                                             # (batch watermarks, SURVEY §5)
+    tpu_control_fasta: Optional[str] = None  # spike-in control reference
+                                             # (fail-reads.md 0x2); falls back
+                                             # to $SMRT_CHEMISTRY_BUNDLE_DIR/controls.fasta
     tpu_band_width: int = 128          # banded full-length alignment band
 
     def resolve_mode_all(self) -> "CcsConfig":

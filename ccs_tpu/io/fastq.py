@@ -26,3 +26,30 @@ class FastqWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_fasta(path: str) -> dict:
+    """Minimal FASTA reader -> {name: int8 base codes} (control references,
+    chemistry-bundle assets). Gzip detected by magic bytes."""
+    import gzip as _gzip
+    from ccs_tpu.ops import dna
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+    opener = _gzip.open if head == b"\x1f\x8b" else open
+    seqs: dict = {}
+    name, parts = None, []
+    with opener(path, "rb") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if name is not None:
+                    seqs[name] = dna.encode(b"".join(parts))
+                name = line[1:].split()[0].decode()
+                parts = []
+            else:
+                parts.append(line)
+    if name is not None:
+        seqs[name] = dna.encode(b"".join(parts))
+    return seqs

@@ -112,3 +112,13 @@ def build_index_from_records(records, voffsets, rg_id: int = 0) -> PbiIndex:
         q_start=qs, q_end=qe, hole_number=zm, read_qual=rq, ctxt_flag=cx,
         file_offset=np.asarray(voffsets, dtype=np.uint64),
     )
+
+
+def filter_pbi(index: PbiIndex, holes) -> PbiIndex:
+    """Subset an index to the given hole numbers (CLR subsampling, C17)."""
+    keep = np.isin(index.hole_number, np.asarray(sorted(holes), np.int32))
+    return PbiIndex(
+        rg_id=index.rg_id[keep], q_start=index.q_start[keep],
+        q_end=index.q_end[keep], hole_number=index.hole_number[keep],
+        read_qual=index.read_qual[keep], ctxt_flag=index.ctxt_flag[keep],
+        file_offset=index.file_offset[keep])

@@ -30,6 +30,25 @@ from ccs_tpu.statuses import ZmwStatus
 logger = logging.getLogger("ccs_tpu")
 
 
+def _load_control(cfg: CcsConfig):
+    """Spike-in control reference: --tpu-control-fasta, or controls.fasta in
+    the injected chemistry bundle (chemistry.md:32-41 mechanism)."""
+    import os
+    path = cfg.tpu_control_fasta
+    if not path:
+        bundle = os.environ.get("SMRT_CHEMISTRY_BUNDLE_DIR")
+        if bundle and os.path.exists(os.path.join(bundle, "controls.fasta")):
+            path = os.path.join(bundle, "controls.fasta")
+    if not path:
+        return None
+    from ccs_tpu.io.fastq import read_fasta
+    seqs = read_fasta(path)
+    if not seqs:
+        return None
+    logger.info("Loaded spike-in control reference from %s", path)
+    return next(iter(seqs.values()))
+
+
 class CcsEngine:
     """Stateless-per-batch CCS engine over one set of Arrow parameters.
 
@@ -56,6 +75,7 @@ class CcsEngine:
             self.mesh, self.tables,
             max_iters=self.cfg.max_polish_iterations,
             use_pallas=use_pallas, thresh=self.cfg.tpu_polish_thresh)
+        self.control = _load_control(self.cfg)
         # bucket grids (window counts rounded up to mesh divisibility)
         self.w_buckets = tuple(sorted(
             -(-w // self.n_dev) * self.n_dev
@@ -89,7 +109,8 @@ class CcsEngine:
         items: list[ZmwWorkItem] = []
         for z, strand in work:
             try:
-                item = prepare_zmw(z, self.cfg, self.params.snr_edges)
+                item = prepare_zmw(z, self.cfg, self.params.snr_edges,
+                                   control=self.control)
             except Exception:  # noqa: BLE001 — failures are data (SURVEY §5)
                 logger.exception("prepare failed for ZMW %s", z.hole)
                 res = ConsensusResult(hole=z.hole, movie=z.movie,
@@ -104,7 +125,9 @@ class CcsEngine:
                 ss_cfg = _dc.replace(self.cfg, by_strand=True, hd_finder=False)
                 for zz, ss in zip(split_by_strand(z), ("fwd", "rev")):
                     try:
-                        ss_item = prepare_zmw(zz, ss_cfg, self.params.snr_edges)
+                        ss_item = prepare_zmw(zz, ss_cfg,
+                                              self.params.snr_edges,
+                                              control=self.control)
                     except Exception:  # noqa: BLE001
                         logger.exception("ss prepare failed for ZMW %s", z.hole)
                         ss_res = ConsensusResult(
@@ -123,7 +146,17 @@ class CcsEngine:
         live = [it for it in items if not it.terminal]
         if live:
             self._polish_live(live)
-        return [it.result for it in items]
+        results = [it.result for it in items]
+        for res in results:
+            if res.is_control:
+                # spike-in controls never count as HiFi yield
+                # (fail-reads.md 0x2, reports-aux-files.md control rows)
+                from ccs_tpu.pipeline.adapters import FF_CONTROL
+                res.ff |= FF_CONTROL
+                res.status = (ZmwStatus.CONTROL_SUCCESS
+                              if res.status == ZmwStatus.SUCCESS
+                              else ZmwStatus.CONTROL_FAILURE)
+        return results
 
     # -- device phase --
     def _c_bucket(self, c: int) -> int:

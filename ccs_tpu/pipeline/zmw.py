@@ -30,7 +30,9 @@ from ccs_tpu.pipeline.adapters import (AdapterInfo, adapter_counts,
                                        classify_adapter_artifacts,
                                        FF_ADAPTER_CONCAT,
                                        FF_ADAPTER_PALINDROME,
-                                       FF_ADAPTER_RESIDUE)
+                                       FF_ADAPTER_RESIDUE,
+                                       FF_BELOW_Q20, FF_CONTROL,
+                                       FF_MEDIAN_SUBREAD, FF_SINGLE_STRAND)
 from ccs_tpu.pipeline.kinetics import KineticsEntry, KineticsResult
 from ccs_tpu.pipeline.windows import WindowBatch, build_window_batch
 from ccs_tpu.statuses import ZmwStatus
@@ -84,6 +86,10 @@ class ConsensusResult:
     kinetics: Optional[KineticsResult] = None       # fi/fp/fn/ri/rp/rn (C14)
     sub_kinetics: Optional[tuple] = None            # (ip, pw) for subread reps
     adapter_info: Optional[AdapterInfo] = None      # ma/ac tags (C15)
+    ff: int = 0                                     # fail-flag bitmask (fail-reads.md:12-21)
+    is_control: bool = False                        # spike-in control ZMW
+    fail_rep: Optional[np.ndarray] = None           # fail_reads.bam representative
+                                                    # when no consensus exists
 
 
 @dataclasses.dataclass
@@ -140,10 +146,36 @@ def cap_top_passes(subreads: list[Subread], top: int) -> list[int]:
     return sorted(int(i) for i in order)
 
 
+def _median_fl_subread(subs: list[Subread]) -> Optional[Subread]:
+    """Median-length full-length subread (the fail_reads.bam representative
+    for ZMWs without a consensus; fail-reads.md 0x8)."""
+    fl = [s for s in subs if s.full_length]
+    if not fl:
+        return None
+    lengths = np.asarray([len(s.seq) for s in fl])
+    return fl[int(np.argsort(lengths, kind="stable")[len(fl) // 2])]
+
+
+def is_control_read(seq: np.ndarray, control: np.ndarray,
+                    k: int = 13, min_anchors: int = 5) -> bool:
+    """Spike-in control classification: a read maps to the control reference
+    if enough unique k-mers chain monotonically (either orientation)."""
+    if len(seq) < k or len(control) < k:
+        return False
+    for probe in (seq, dna.revcomp(seq)):
+        if len(anchor_chain(probe, control, k)) >= min_anchors:
+            return True
+    return False
+
+
 def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
-                params_snr_edges: np.ndarray) -> ZmwWorkItem:
+                params_snr_edges: np.ndarray,
+                control: Optional[np.ndarray] = None) -> ZmwWorkItem:
     """Host phase 1: filters + draft + window batch. Never raises on bad
-    data — errors become EXCEPTION_THROWN by the caller."""
+    data — errors become EXCEPTION_THROWN by the caller. ``control`` is the
+    spike-in control reference sequence, if the run has one
+    (fail-reads.md 0x2; classification happens before filtering so control
+    ZMWs are reported as CONTROL_* whatever else happens to them)."""
     res = ConsensusResult(hole=zmw.hole, movie=zmw.movie,
                           status=ZmwStatus.SUCCESS, snr=zmw.snr)
     subs = zmw.subreads
@@ -151,9 +183,17 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         res.polymerase_length = max(s.qe for s in subs) - min(s.qs for s in subs)
         res.wall_start = min(s.qs for s in subs)
         res.wall_end = max(s.qe for s in subs)
+        if control is not None:
+            lengths = np.asarray([len(s.seq) for s in subs])
+            probe = subs[int(np.argsort(lengths, kind="stable")[len(subs) // 2])]
+            res.is_control = is_control_read(probe.seq, control)
 
     def fail(status: ZmwStatus) -> ZmwWorkItem:
         res.status = status
+        rep = _median_fl_subread(subs)
+        if rep is not None:
+            res.fail_rep = rep.seq.copy()
+            res.ff |= FF_MEDIAN_SUBREAD
         return ZmwWorkItem(zmw, res, None)
 
     # 1. SNR filter (how-does-ccs-work.md:21)
@@ -195,6 +235,11 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     # 2. draft generation
     dr = generate_draft([s.seq for s in subs], [s.full_length for s in subs])
     if dr.draft is None:
+        if cfg.mode_all and n_fl >= 1:
+            # Revio semantics (fail-reads.md 0x8 / reports-aux-files.md): a
+            # molecule with at least one full pass but no consensus is
+            # reported as the median full-length subread in fail_reads.bam
+            return fail(ZmwStatus.FULL_LENGTH_SUBREAD)
         return fail(ZmwStatus.DRAFT_FAILURE)
     draft = dr.draft
     res.insert_size = len(draft)
@@ -303,6 +348,12 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     if med_cov >= 4 and float(cov.min()) < 0.3 * med_cov:
         return fail(ZmwStatus.COVERAGE_DROPS)
 
+    # too many subreads dropped (large-insertion trim / coverage cap) while
+    # building the polish input -> TOO_MANY_UNUSABLE (reports-aux-files.md)
+    mean_cov = float((batch.rlens >= 0).sum(axis=1).mean())
+    if dr.n_mapped >= 4 and mean_cov < 0.5 * dr.n_mapped:
+        return fail(ZmwStatus.TOO_MANY_UNUSABLE)
+
     # np / ec per documented semantics (accuracy-vs-passes.md:15-29)
     fl_cov = (batch.full_len & (batch.rlens >= 0)).sum(axis=1)
     vals, counts = np.unique(fl_cov, return_counts=True)
@@ -348,8 +399,13 @@ def finalize_zmw(item: ZmwWorkItem, tpl: np.ndarray, tlen: np.ndarray,
     res.qv = qvs
     res.rq = rq
     res.insert_size = len(seq)
+    if res.strand:
+        res.ff |= FF_SINGLE_STRAND      # SS CCS reads (fail-reads.md 0x4)
+    if rq < 0.99:
+        res.ff |= FF_BELOW_Q20          # below HiFi Q20 (fail-reads.md 0x1)
     # adapter artifact classes fail the read (fail-reads.md, C15)
     art = classify_adapter_artifacts(seq)
+    res.ff |= art
     if art & FF_ADAPTER_CONCAT:
         res.status = ZmwStatus.ADAPTER_CONCATENATION
         return res

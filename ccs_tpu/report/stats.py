@@ -56,8 +56,16 @@ def _qv_from_rq(rq: float) -> float:
 @dataclasses.dataclass
 class RunStats:
     n_input: int = 0
+    n_zmws: int = 0  # true input ZMW count (n_input counts results; in
+                     # strand modes one ZMW yields up to two results)
     status_counts: dict = dataclasses.field(
         default_factory=lambda: {s: 0 for s in ZmwStatus})
+    # per-strand-class splits for the strand-aware report variants
+    # (mode-heteroduplex-filtering.md:85-117, mode-by-strand.md:58-89)
+    status_counts_ss: dict = dataclasses.field(
+        default_factory=lambda: {s: 0 for s in ZmwStatus})
+    n_input_ss: int = 0
+    n_tandem_ss: int = 0
     n_tandem: int = 0
     n_missing_adapters: int = 0
     # per successful read: (length, rq)
@@ -70,9 +78,17 @@ class RunStats:
     metrics_rows: list = dataclasses.field(default_factory=list)
     collect_metrics: bool = True
 
+    def add_zmws(self, n: int) -> None:
+        self.n_zmws += n
+
     def add(self, res: ConsensusResult) -> None:
         self.n_input += 1
         self.status_counts[res.status] += 1
+        if res.strand:
+            self.n_input_ss += 1
+            self.status_counts_ss[res.status] += 1
+            if res.has_tandem_repeat:
+                self.n_tandem_ss += 1
         if res.has_tandem_repeat:
             self.n_tandem += 1
         if res.status in (ZmwStatus.SUCCESS, ZmwStatus.LOW_PASS_SHORTCUT) \
@@ -119,8 +135,12 @@ class RunStats:
     def merge(self, other: "RunStats") -> None:
         """Merge a chunk's stats (multi-host reduce; parallelize.md:15-29)."""
         self.n_input += other.n_input
+        self.n_zmws += other.n_zmws
         for s in ZmwStatus:
             self.status_counts[s] += other.status_counts[s]
+            self.status_counts_ss[s] += other.status_counts_ss[s]
+        self.n_input_ss += other.n_input_ss
+        self.n_tandem_ss += other.n_tandem_ss
         self.n_tandem += other.n_tandem
         self.n_missing_adapters += other.n_missing_adapters
         self.read_lengths.extend(other.read_lengths)
@@ -200,6 +220,60 @@ def format_ccs_report(st: RunStats) -> str:
     return "\n".join(lines) + "\n"
 
 
+def format_ccs_report_strand(st: RunStats, two_column: bool = True) -> str:
+    """Strand-aware ccs_report.txt variants.
+
+    --hd-finder: two columns (Double-Strand Reads / Single-Strand Reads),
+    counts are READS not ZMWs, `Inputs` percentages are w.r.t. input ZMWs,
+    everything else w.r.t. the column (mode-heteroduplex-filtering.md:85-117).
+    --by-strand (``two_column=False``): the single-strand column only
+    (mode-by-strand.md:58-89).
+    """
+    W = 25
+    ds = {s: st.status_counts[s] - st.status_counts_ss[s] for s in ZmwStatus}
+    ss = dict(st.status_counts_ss)
+    n_ds = st.n_input - st.n_input_ss
+    n_ss = st.n_input_ss
+
+    def cell(count: int, denom: int) -> str:
+        pct = 100.0 * count / denom if denom else 0.0
+        fmt = "{:.2f}%" if pct >= 10 else "{:.3f}%"
+        return f"{count:>10} ({fmt.format(pct)})"
+
+    def row(label: str, ds_c: int, ds_d: int, ss_c: int, ss_d: int) -> str:
+        line = f"{label:<{W}}:"
+        if two_column:
+            line += f" {cell(ds_c, ds_d)}  {cell(ss_c, ss_d)}"
+        else:
+            line += f" {cell(ss_c, ss_d)}"
+        return line
+
+    lines = []
+    if two_column:
+        lines.append(f"{'':<{W}}  Double-Strand Reads  Single-Strand Reads")
+    else:
+        lines.append(f"{'':<{W}}  Single-Strand Reads")
+    n_zmws = max(st.n_zmws, 1)
+    lines.append(row("Inputs", n_ds, n_zmws, n_ss, n_zmws))
+    lines.append("")
+    pass_ds = ds[ZmwStatus.SUCCESS]
+    pass_ss = ss[ZmwStatus.SUCCESS]
+    lines.append(row("Passed", pass_ds, n_ds, pass_ss, n_ss))
+    lines.append(row("Failed", n_ds - pass_ds - ds[ZmwStatus.LOW_PASS_SHORTCUT],
+                     n_ds, n_ss - pass_ss - ss[ZmwStatus.LOW_PASS_SHORTCUT],
+                     n_ss))
+    lines.append("")
+    tand_ds = st.n_tandem - st.n_tandem_ss
+    lines.append(row("Tandem repeats", tand_ds, n_ds, st.n_tandem_ss, n_ss))
+    lines.append("")
+    lines.append("Exclusive failed counts")
+    lines.append(row("Shortcut filters", ds[ZmwStatus.LOW_PASS_SHORTCUT],
+                     n_ds, ss[ZmwStatus.LOW_PASS_SHORTCUT], n_ss))
+    for status, label in REPORT_LABELS.items():
+        lines.append(row(label, ds[status], n_ds, ss[status], n_ss))
+    return "\n".join(lines) + "\n"
+
+
 def report_json_dict(st: RunStats) -> dict:
     """JSON twin of the report (--report-json, changelog.md:72)."""
     lengths = np.asarray(st.read_lengths, dtype=np.int64)
@@ -241,8 +315,11 @@ def hifi_summary_dict(st: RunStats) -> dict:
     }
 
 
-def format_summary_log(st: RunStats) -> str:
-    """End-of-run INFO summary block (mode-by-strand.md:30-56)."""
+def format_summary_log(st: RunStats, strand_aware: bool = False) -> str:
+    """End-of-run INFO summary block (mode-by-strand.md:30-56). In the
+    strand modes (--by-strand / --hd-finder) the block carries DS/SS
+    sub-rows for UMY, HiFi yield and HiFi reads
+    (mode-heteroduplex-filtering.md:57-83)."""
     lengths = np.asarray(st.read_lengths, dtype=np.int64)
     rqs = np.asarray(st.read_rqs, dtype=np.float64)
     qvs = np.asarray([_qv_from_rq(r) for r in st.read_rqs])
@@ -259,21 +336,49 @@ def format_summary_log(st: RunStats) -> str:
 
     umy = float(lengths.sum())
     hifi_yield = float(lengths[hifi].sum()) if len(lengths) else 0.0
-    out = [
+    abbrev = [
         "-" * 49,
         "Summary stats abbreviations:",
         "ZMW         - A productive Zero-Mode Waveguide",
         "DS          - Double Strand",
         "SS          - Single Strand",
+    ]
+    if strand_aware:
+        abbrev += [
+            "DS-ZMW      - All subreads were used from a single ZMW",
+            "SS-ZMW      - ZMW is split into fwd and rev strands,",
+            "              each strand is polished individually",
+            "DS-Read     - CCS read of a DS-ZMW",
+            "SS-Read     - CCS read of one strand of a SS-ZMW",
+        ]
+    abbrev += [
         "HiFi        - CCS reads with predicted accuracy >=Q20",
         "UMY         - Unique Molecular Yield of all reads passing filters",
-        "-" * 49,
-        f"ZMWs Input    : {st.n_input}",
+    ]
+    if strand_aware:
+        abbrev.append(
+            "HiFi Yield  - UMY of >=Q20 DS- and SS-ZMWs, longest read per ZMW")
+    abbrev.append("-" * 49)
+
+    out = abbrev + [
+        f"ZMWs Input    : {st.n_zmws or st.n_input}",
         f"ZMWs Written  : {len(lengths)}",
         f" - DS / SS    : {int((~ss).sum())} / {int(ss.sum())}",
         f"UMY           : {human(umy)} ({human(umy / elapsed_hr)}/hr)",
-        f"HiFi Yield    : {human(hifi_yield)} ({human(hifi_yield / elapsed_hr)}/hr)",
-        f"HiFi Reads    : {int(hifi.sum())}",
+    ]
+    if strand_aware:
+        out.append(f" - DS / SS    : {human(float(lengths[~ss].sum()))} / "
+                   f"{human(float(lengths[ss].sum()))}")
+    out.append(f"HiFi Yield    : {human(hifi_yield)} "
+               f"({human(hifi_yield / elapsed_hr)}/hr)")
+    if strand_aware:
+        out.append(f" - DS / SS    : {human(float(lengths[hifi & ~ss].sum()))} / "
+                   f"{human(float(lengths[hifi & ss].sum()))}")
+    out.append(f"HiFi Reads    : {int(hifi.sum())}")
+    if strand_aware:
+        out.append(f" - DS / SS    : {int((hifi & ~ss).sum())} / "
+                   f"{int((hifi & ss).sum())}")
+    out += [
         f"HiFi Avg Size : {human(float(lengths[hifi].mean()) if hifi.any() else 0.0)}",
         f"HiFi Avg QV   : {float(qvs[hifi].mean()) if hifi.any() else 0.0:.1f}",
     ]
