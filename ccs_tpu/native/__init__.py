@@ -72,4 +72,18 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p,  # ops_rev, ops_len
             ctypes.c_void_p,                   # n_match
         ]
+        try:
+            fa = _LIB.ccs_affine_align
+            fa.restype = ctypes.c_int64
+            fa.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # read, R
+                ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+                ctypes.c_void_p, ctypes.c_int64,   # centers, W
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # sub/open/ext
+                ctypes.c_void_p,                   # rpos_at
+                ctypes.c_void_p, ctypes.c_void_p,  # ops_rev, ops_len
+                ctypes.c_void_p,                   # n_match
+            ]
+        except AttributeError:  # stale cached .so without the new symbol
+            pass
     return _LIB

@@ -218,6 +218,205 @@ def _edit_align_native(lib, read: np.ndarray, tpl: np.ndarray,
     return Alignment(int(score), cigar, rpos_at, int(n_match[0]))
 
 
+def affine_align(read: np.ndarray, tpl: np.ndarray,
+                 band: Optional[int] = None,
+                 sub_cost: int = 6, gap_open: int = 2, gap_ext: int = 2,
+                 centers: Optional[np.ndarray] = None) -> Optional[Alignment]:
+    """Banded global alignment with AFFINE gap costs (Gotoh 3-matrix DP).
+
+    The KSW2-equivalent of the reference (how-does-ccs-work.md:53-55): a
+    k-base gap costs ``gap_open + k*gap_ext``, so multi-base indels collapse
+    into one run instead of being scattered as alternating ops or absorbed
+    as mismatch pairs. Defaults (6, 2, 2) keep single-base indels cheaper
+    than substitutions (SMRT errors are indel-dominated) while long gaps pay
+    per base.
+
+    Same band framing / return contract as edit_align: band is centered on
+    the rescaled diagonal or an explicit ``centers`` path; returns None if
+    the optimal path escapes the band. Dispatches to the native C++ kernel
+    (ccs_tpu.native) when available; NumPy is the oracle/fallback.
+    """
+    read = np.asarray(read, dtype=np.int8)
+    tpl = np.asarray(tpl, dtype=np.int8)
+    R, T = len(read), len(tpl)
+    if R == 0:
+        cigar = [(T, "D")] if T else []
+        return Alignment(gap_open + T * gap_ext if T else 0, cigar,
+                         np.zeros(T + 1, np.int64))
+    if T == 0:
+        return Alignment(gap_open + R * gap_ext, [(R, "I")],
+                         np.zeros(1, np.int64))
+    if band is None:
+        band = band_width_for(R, T)
+    W = min(band, T)
+    width = 2 * W + 1
+
+    if centers is None:
+        centers = np.round(np.arange(R + 1) * (T / R)).astype(np.int64)
+    else:
+        centers = np.asarray(centers, dtype=np.int64)
+        assert len(centers) == R + 1
+        centers = np.maximum.accumulate(np.clip(centers, 0, T))
+        centers = centers.copy()
+        centers[0], centers[-1] = 0, T
+
+    from ccs_tpu import native
+    lib = native.load()
+    if lib is not None and hasattr(lib, "ccs_affine_align"):
+        return _affine_align_native(lib, read, tpl, centers, W,
+                                    sub_cost, gap_open, gap_ext)
+
+    cols_of = lambda i: centers[i] - W + np.arange(width)
+    garange = gap_ext * np.arange(width)
+
+    # row 0: pure deletion prefix — V = D state with one gap_open
+    prevV = np.full(width, BIG, dtype=np.int64)
+    prevI = np.full(width, BIG, dtype=np.int64)
+    cols0 = cols_of(0)
+    valid0 = (cols0 >= 0) & (cols0 <= T)
+    prevV[valid0] = np.where(cols0[valid0] == 0, 0,
+                             gap_open + cols0[valid0] * gap_ext)
+    # per-row backpointers: V's choice, and extension bits for I and D chains
+    vmoves = np.zeros((R, width), dtype=np.int8)
+    iexts = np.zeros((R, width), dtype=bool)
+    dexts = np.zeros((R + 1, width), dtype=bool)
+
+    for i in range(1, R + 1):
+        shift = centers[i] - centers[i - 1]
+        cols = cols_of(i)
+        valid = (cols >= 0) & (cols <= T)
+        if shift:
+            pVs = np.full(width, BIG, dtype=np.int64)
+            pIs = np.full(width, BIG, dtype=np.int64)
+            if shift < width:
+                pVs[:width - shift] = prevV[shift:]
+                pIs[:width - shift] = prevI[shift:]
+        else:
+            pVs, pIs = prevV, prevI
+        diag_prevV = np.full(width, BIG, dtype=np.int64)
+        diag_prevV[1:] = pVs[:-1]
+        if 0 < shift <= width:
+            diag_prevV[0] = prevV[shift - 1]
+        jm1 = cols - 1
+        tchar = np.where((jm1 >= 0) & (jm1 < T), tpl[np.clip(jm1, 0, T - 1)], -2)
+        m_val = diag_prevV + np.where(tchar == read[i - 1], 0, sub_cost)
+        m_val[jm1 < 0] = BIG
+        # vertical (insertion) chain across rows
+        i_open = np.minimum(pVs + gap_open + gap_ext, BIG)
+        i_ext = np.minimum(pIs + gap_ext, BIG)
+        i_val = np.minimum(i_open, i_ext)
+        iexts[i - 1] = i_ext <= i_open
+        # best non-deletion value per column
+        u = np.minimum(m_val, i_val)
+        vmove = np.where(m_val <= i_val, M_DIAG, M_UP).astype(np.int8)
+        u_masked = np.where(valid, u, BIG)
+        # horizontal (deletion) chain within the row via exclusive prefix-min:
+        # D[k] = min_{k'<k} U[k'] + gap_open + gap_ext*(k-k')
+        shifted = np.minimum(u_masked - garange, BIG)
+        runmin = np.minimum.accumulate(shifted)
+        d_val = np.full(width, BIG, dtype=np.int64)
+        d_val[1:] = np.minimum(runmin[:-1] + garange[1:] + gap_open, BIG)
+        d_val[~valid] = BIG
+        d_val[jm1 < 0] = BIG
+        # extension bit: D[k] reachable as D[k-1] + gap_ext (tie -> extend)
+        dexts[i][1:] = (d_val[:-1] + gap_ext <= u_masked[:-1] + gap_open + gap_ext) \
+            & (d_val[:-1] < BIG)
+        curV = np.minimum(u_masked, d_val)
+        vmove = np.where(d_val < u_masked, M_LEFT, vmove).astype(np.int8)
+        curV[~valid] = BIG
+        vmoves[i - 1] = vmove
+        prevV, prevI = curV, np.where(valid, i_val, BIG)
+
+    end_k = T - centers[R] + W
+    if end_k < 0 or end_k >= width or prevV[end_k] >= BIG:
+        return None
+    score = int(prevV[end_k])
+
+    # traceback with explicit Gotoh state (V / I-chain / D-chain)
+    cigar_rev: list[str] = []
+    rpos_at = np.zeros(T + 1, dtype=np.int64)
+    n_match = 0
+    i, k = R, end_k
+    state = "V"
+    while True:
+        j = centers[i] - W + k
+        rpos_at[j] = i
+        if i == 0 and j == 0:
+            break
+        if state == "V":
+            if i == 0:
+                state = "D"
+                continue
+            if j == 0:
+                state = "I"
+                continue
+            mv = vmoves[i - 1][k]
+            if mv == M_DIAG:
+                n_match += int(read[i - 1] == tpl[j - 1])
+                shift = centers[i] - centers[i - 1]
+                i, k = i - 1, k - 1 + shift
+                cigar_rev.append("M")
+            elif mv == M_UP:
+                state = "I"
+            else:
+                state = "D"
+        elif state == "I":
+            was_ext = iexts[i - 1][k]
+            shift = centers[i] - centers[i - 1]
+            i, k = i - 1, k + shift
+            cigar_rev.append("I")
+            state = "I" if was_ext else "V"
+        else:  # D
+            was_ext = dexts[i][k]
+            k -= 1
+            cigar_rev.append("D")
+            state = "D" if was_ext else "V"
+
+    cigar: list[tuple[int, str]] = []
+    for op in reversed(cigar_rev):
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return Alignment(score, cigar, rpos_at, n_match)
+
+
+def _affine_align_native(lib, read: np.ndarray, tpl: np.ndarray,
+                         centers: np.ndarray, W: int, sub_cost: int,
+                         gap_open: int, gap_ext: int) -> Optional[Alignment]:
+    """ctypes call into ccs_tpu/native/align.cpp (same Gotoh DP/traceback)."""
+    import ctypes
+    R, T = len(read), len(tpl)
+    read = np.ascontiguousarray(read, dtype=np.int8)
+    tpl = np.ascontiguousarray(tpl, dtype=np.int8)
+    centers = np.ascontiguousarray(centers, dtype=np.int64)
+    rpos_at = np.zeros(T + 1, dtype=np.int64)
+    ops_rev = np.empty(R + T + 2, dtype=np.int8)
+    ops_len = np.zeros(1, dtype=np.int64)
+    n_match = np.zeros(1, dtype=np.int64)
+    score = lib.ccs_affine_align(
+        read.ctypes.data_as(ctypes.c_void_p), R,
+        tpl.ctypes.data_as(ctypes.c_void_p), T,
+        centers.ctypes.data_as(ctypes.c_void_p), W,
+        sub_cost, gap_open, gap_ext,
+        rpos_at.ctypes.data_as(ctypes.c_void_p),
+        ops_rev.ctypes.data_as(ctypes.c_void_p),
+        ops_len.ctypes.data_as(ctypes.c_void_p),
+        n_match.ctypes.data_as(ctypes.c_void_p))
+    if score < 0:
+        return None
+    ops = ops_rev[:int(ops_len[0])][::-1]
+    cigar: list[tuple[int, str]] = []
+    if len(ops):
+        brk = np.nonzero(np.diff(ops))[0] + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(ops)]])
+        names = {M_DIAG: "M", M_UP: "I", M_LEFT: "D"}
+        cigar = [(int(e - s), names[int(ops[s])])
+                 for s, e in zip(starts, ends)]
+    return Alignment(int(score), cigar, rpos_at, int(n_match[0]))
+
+
 def align_with_retry(read: np.ndarray, tpl: np.ndarray,
                      max_band: Optional[int] = None,
                      sub_cost: int = 1, gap_cost: int = 1) -> Optional[Alignment]:
@@ -309,20 +508,33 @@ def anchor_chain(read: np.ndarray, tpl: np.ndarray, k: int = 13
 
 
 def guided_align(read: np.ndarray, tpl: np.ndarray, band: int = 48,
-                 k: int = 13, sub_cost: int = 1, gap_cost: int = 1
-                 ) -> Optional[Alignment]:
+                 k: int = 13, sub_cost: int = 1, gap_cost: int = 1,
+                 gap_open: int = 0) -> Optional[Alignment]:
     """Anchor-chain-guided banded alignment: O(R * band) regardless of drift.
 
     Chains unique k-mer anchors, interpolates a template center for every
     read row, and runs the banded DP along that path. Falls back to plain
     (rescaled-diagonal) banding with widening if the chain is too sparse or
     the path escapes.
+
+    With ``gap_open > 0`` the DP is the affine-gap Gotoh kernel (KSW2 role,
+    how-does-ccs-work.md:53-55): a k-gap costs gap_open + k*gap_cost, so
+    multi-base indels collapse into single runs.
     """
     read = np.asarray(read, dtype=np.int8)
     tpl = np.asarray(tpl, dtype=np.int8)
+
+    def dp(band=None, centers=None):
+        if gap_open > 0:
+            return affine_align(read, tpl, band=band, sub_cost=sub_cost,
+                                gap_open=gap_open, gap_ext=gap_cost,
+                                centers=centers)
+        return edit_align(read, tpl, band=band, sub_cost=sub_cost,
+                          gap_cost=gap_cost, centers=centers)
+
     R, T = len(read), len(tpl)
     if R == 0 or T == 0:
-        return edit_align(read, tpl, sub_cost=sub_cost, gap_cost=gap_cost)
+        return dp()
     chain = anchor_chain(read, tpl, k)
     if len(chain) >= 3:
         # invert the chain: template position per read row
@@ -332,11 +544,19 @@ def guided_align(read: np.ndarray, tpl: np.ndarray, band: int = 48,
         tp = np.maximum.accumulate(tp)
         centers = np.round(np.interp(np.arange(R + 1), rp, tp)).astype(np.int64)
         for w in (band, band * 2):
-            aln = edit_align(read, tpl, band=w, sub_cost=sub_cost,
-                             gap_cost=gap_cost, centers=centers)
+            aln = dp(band=w, centers=centers)
             if aln is not None:
                 return aln
-    return align_with_retry(read, tpl, sub_cost=sub_cost, gap_cost=gap_cost)
+    # plain rescaled-diagonal banding with geometric widening
+    band = band_width_for(R, T)
+    limit = max(R, T)
+    while True:
+        aln = dp(band=band)
+        if aln is not None:
+            return aln
+        if band >= limit:
+            return None
+        band = min(band * 2, limit)
 
 
 def interp_read_pos(chain: np.ndarray, tquery: np.ndarray,

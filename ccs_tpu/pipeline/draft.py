@@ -51,8 +51,10 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
     mapped = []
     n_mapped = 0
     for read in aligned_reads:
-        # sub_cost > gap_cost: SMRT errors are indel-dominated; see edit_align
-        aln = guided_align(read, tpl, sub_cost=3, gap_cost=2)
+        # affine KSW2-style costs (how-does-ccs-work.md:53-55): sub > 1-gap
+        # (SMRT errors are indel-dominated) and long indels collapse into one
+        # run, concentrating pileup votes at a single template position
+        aln = guided_align(read, tpl, sub_cost=6, gap_cost=2, gap_open=2)
         if aln is None or aln.identity() < min_identity:
             mapped.append(False)
             continue

@@ -78,7 +78,7 @@ def detect_heteroduplex_pileup(draft: np.ndarray,
     T = len(draft)
     counts = np.zeros((2, T, 4), dtype=np.int64)  # [strand, pos, base]
     for read, strand in zip(oriented_reads, strands):
-        aln = guided_align(read, draft, sub_cost=3, gap_cost=2)
+        aln = guided_align(read, draft, sub_cost=6, gap_cost=2, gap_open=2)
         if aln is None:
             continue
         i = j = 0
