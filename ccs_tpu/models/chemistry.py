@@ -40,6 +40,21 @@ logger = logging.getLogger("ccs_tpu")
 
 N_CTX = 16       # dinucleotide contexts (prev base × current base)
 N_SNR_BINS = 8   # ZMW SNR bins
+N_PW_BINS = 4    # pulse-width bins: 0 = unknown/no-kinetics, 1..3 = short/
+                 # mid/long pulses (how-does-ccs-work.md:88-95 keys the model
+                 # on dinuc ctx + PW + SNR)
+
+
+def pack_read_pw(bases: np.ndarray, pw_bins: np.ndarray) -> np.ndarray:
+    """Pack per-base pulse-width bins into read codes: code = base + 4*pw.
+
+    Keeps every device array int8 and every kernel signature unchanged —
+    kernels decode base = code % 4, pw = code // 4. Codes 0..3 are plain
+    bases (pw bin 0 = unknown, factor fixed at 1), pad stays -1.
+    """
+    bases = np.asarray(bases, dtype=np.int8)
+    out = bases + 4 * np.asarray(pw_bins, dtype=np.int8)
+    return np.where(bases < 0, np.int8(-1), out).astype(np.int8)
 
 
 @dataclasses.dataclass
@@ -55,9 +70,27 @@ class ArrowParams:
     emit_match: np.ndarray    # [N_SNR_BINS, N_CTX, 4] p(read base | Match, ctx)
     emit_stick: np.ndarray    # [N_SNR_BINS, N_CTX, 4] p(read base | Stick, ctx);
                               #   entry at the template base is 0
+    # pulse-width conditioning (how-does-ccs-work.md:88-95): per-read-base
+    # likelihood-ratio factors vs the marginal pulse-width distribution.
+    # pw_match[s, w] multiplies Match emissions of a base in pw bin w,
+    # pw_ins[s, w] multiplies Branch/Stick emissions. Bin 0 = unknown pw
+    # (factor pinned to 1.0, used when the input carries no kinetics).
+    # Only the ratio pw_ins/pw_match matters for consensus/QV (a common
+    # per-base scale is a per-read constant); the fitted gauge is
+    # E_w~prior[pw_match] = 1.
+    pw_edges: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([10.0, 24.0], dtype=np.float32))
+    pw_match: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones((N_SNR_BINS, N_PW_BINS), np.float32))
+    pw_ins: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones((N_SNR_BINS, N_PW_BINS), np.float32))
 
     def snr_bin(self, snr: float | np.ndarray) -> np.ndarray:
         return np.searchsorted(self.snr_edges, np.asarray(snr))
+
+    def pw_bin(self, pw_frames: np.ndarray) -> np.ndarray:
+        """Map instrument pulse widths (frames, `pw` tag) to bins 1..3."""
+        return 1 + np.searchsorted(self.pw_edges, np.asarray(pw_frames))
 
     def validate(self) -> None:
         assert self.trans.shape == (N_SNR_BINS, N_CTX, 4)
@@ -70,6 +103,12 @@ class ArrowParams:
             cur_base = ctx % 4
             assert np.all(self.emit_stick[:, ctx, cur_base] == 0.0), (
                 "Stick must not emit the template base")
+        assert self.pw_edges.shape == (N_PW_BINS - 2,)
+        assert self.pw_match.shape == (N_SNR_BINS, N_PW_BINS)
+        assert self.pw_ins.shape == (N_SNR_BINS, N_PW_BINS)
+        assert np.all(self.pw_match > 0) and np.all(self.pw_ins > 0)
+        np.testing.assert_allclose(self.pw_match[:, 0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(self.pw_ins[:, 0], 1.0, atol=1e-6)
 
     # --- serialization (model.json bundle format) ---
     def to_json(self) -> str:
@@ -79,6 +118,9 @@ class ArrowParams:
             "trans": self.trans.tolist(),
             "emit_match": self.emit_match.tolist(),
             "emit_stick": self.emit_stick.tolist(),
+            "pw_edges": self.pw_edges.tolist(),
+            "pw_match": self.pw_match.tolist(),
+            "pw_ins": self.pw_ins.tolist(),
         })
 
     @staticmethod
@@ -91,6 +133,11 @@ class ArrowParams:
             emit_match=np.asarray(d["emit_match"], dtype=np.float32),
             emit_stick=np.asarray(d["emit_stick"], dtype=np.float32),
         )
+        # pw tables are optional in older bundles (factor 1 = pw-agnostic)
+        if "pw_match" in d:
+            p.pw_edges = np.asarray(d["pw_edges"], dtype=np.float32)
+            p.pw_match = np.asarray(d["pw_match"], dtype=np.float32)
+            p.pw_ins = np.asarray(d["pw_ins"], dtype=np.float32)
         p.validate()
         return p
 

@@ -40,7 +40,16 @@ def params_to_device(params: ArrowParams) -> dict[str, jnp.ndarray]:
         "emit_match": jnp.asarray(params.emit_match, dtype=jnp.float32),
         "emit_stick": jnp.asarray(params.emit_stick, dtype=jnp.float32),
         "snr_edges": jnp.asarray(params.snr_edges, dtype=jnp.float32),
+        "pw_match": jnp.asarray(params.pw_match, dtype=jnp.float32),
+        "pw_ins": jnp.asarray(params.pw_ins, dtype=jnp.float32),
     }
+
+
+def decode_reads(reads: jnp.ndarray):
+    """Split packed read codes (chemistry.pack_read_pw) into base codes and
+    pw bins; pads (< 0) keep base/pw 0 — callers mask by rlens."""
+    c = jnp.clip(reads.astype(jnp.int32), 0, 15)
+    return c % 4, c // 4
 
 
 def position_tables(tpl: jnp.ndarray, snr_bin: jnp.ndarray, tables: dict):
@@ -126,6 +135,11 @@ def _forward_batch_scan(tpl: jnp.ndarray, tlen: jnp.ndarray,
     tl = jnp.broadcast_to(tlen[:, None], (B, C)).reshape(L)
     rd = reads.reshape(L, R)
     rl = rlens.reshape(L)
+    # per-lane pulse-width factor LUTs (bin 0 = unknown, factor 1)
+    gm = jnp.broadcast_to(tables["pw_match"][snr_bin][:, None],
+                          (B, C, 4)).reshape(L, 4)
+    gi = jnp.broadcast_to(tables["pw_ins"][snr_bin][:, None],
+                          (B, C, 4)).reshape(L, 4)
 
     # ins_emit must be 0 at j == tlen (no insertions past the end); padded
     # positions are already 0. del chain past tlen is 0 as well.
@@ -141,10 +155,13 @@ def _forward_batch_scan(tpl: jnp.ndarray, tlen: jnp.ndarray,
 
     def step(carry, i):
         alpha, log_scale, ll = carry
-        base_char = rd[:, i]                          # [L]
-        bc = jnp.clip(base_char, 0, 3).astype(jnp.int32)
-        me_i = jnp.take_along_axis(me, bc[:, None, None], axis=-1)[..., 0]   # [L, T]
-        ie_i = jnp.take_along_axis(ie, bc[:, None, None], axis=-1)[..., 0]   # [L, T]
+        code = jnp.clip(rd[:, i].astype(jnp.int32), 0, 15)  # [L]
+        bc = code % 4
+        w = code // 4
+        fm = jnp.take_along_axis(gm, w[:, None], axis=-1)   # [L, 1] pw factor
+        fi = jnp.take_along_axis(gi, w[:, None], axis=-1)
+        me_i = jnp.take_along_axis(me, bc[:, None, None], axis=-1)[..., 0] * fm
+        ie_i = jnp.take_along_axis(ie, bc[:, None, None], axis=-1)[..., 0] * fi
         # diag + vertical contributions into positions 0..T
         diag = alpha[:, :-1] * me_i                  # into j = 1..T
         vert = jnp.concatenate(

@@ -42,9 +42,23 @@ def position_tables(tpl: np.ndarray, params: ArrowParams, snr_bin: int):
     return match_emit, ins_emit, del_p
 
 
+def decode_read(read: np.ndarray, params: ArrowParams, snr_bin: int):
+    """Split packed read codes (base + 4*pw_bin, chemistry.pack_read_pw)
+    into bases [R] and per-base log pw factors (lfm, lfi) for Match and
+    Branch/Stick emissions. Plain-base reads (codes 0..3) are pw bin 0
+    (unknown) whose factors are pinned to 1."""
+    codes = np.asarray(read, dtype=np.int64)
+    bases = codes % 4
+    w = codes // 4
+    lfm = np.log(params.pw_match[snr_bin][w])
+    lfi = np.log(params.pw_ins[snr_bin][w])
+    return bases, lfm, lfi
+
+
 def forward_matrix(tpl, read, params: ArrowParams, snr_bin: int = 0) -> np.ndarray:
     """Full log-space forward matrix alpha [R+1, T+1]."""
     match_emit, ins_emit, del_p = position_tables(tpl, params, snr_bin)
+    bases, lfm, lfi = decode_read(read, params, snr_bin)
     T, R = len(tpl), len(read)
     with np.errstate(divide="ignore"):
         lme = np.log(match_emit)
@@ -55,14 +69,14 @@ def forward_matrix(tpl, read, params: ArrowParams, snr_bin: int = 0) -> np.ndarr
     for j in range(1, T + 1):  # delete chain on row 0
         alpha[0, j] = alpha[0, j - 1] + ldp[j - 1]
     for i in range(1, R + 1):
-        b = int(read[i - 1])
+        b = int(bases[i - 1])
         for j in range(T + 1):
             terms = []
             if j > 0:
-                terms.append(alpha[i - 1, j - 1] + lme[j - 1, b])
+                terms.append(alpha[i - 1, j - 1] + lme[j - 1, b] + lfm[i - 1])
                 terms.append(alpha[i, j - 1] + ldp[j - 1])
             if j < T:
-                terms.append(alpha[i - 1, j] + lie[j, b])
+                terms.append(alpha[i - 1, j] + lie[j, b] + lfi[i - 1])
             alpha[i, j] = _logsumexp(terms) if terms else NEG_INF
     return alpha
 
@@ -77,6 +91,7 @@ def forward_ll(tpl, read, params: ArrowParams, snr_bin: int = 0) -> float:
 def backward_matrix(tpl, read, params: ArrowParams, snr_bin: int = 0) -> np.ndarray:
     """Log-space backward matrix beta [R+1, T+1]; beta[0,0] == total LL."""
     match_emit, ins_emit, del_p = position_tables(tpl, params, snr_bin)
+    bases, lfm, lfi = decode_read(read, params, snr_bin)
     T, R = len(tpl), len(read)
     with np.errstate(divide="ignore"):
         lme = np.log(match_emit)
@@ -91,10 +106,12 @@ def backward_matrix(tpl, read, params: ArrowParams, snr_bin: int = 0) -> np.ndar
             terms = []
             if j < T:
                 if i < R:
-                    terms.append(beta[i + 1, j + 1] + lme[j, int(read[i])])
+                    terms.append(beta[i + 1, j + 1] + lme[j, int(bases[i])]
+                                 + lfm[i])
                 terms.append(beta[i, j + 1] + ldp[j])
                 if i < R:
-                    terms.append(beta[i + 1, j] + lie[j, int(read[i])])
+                    terms.append(beta[i + 1, j] + lie[j, int(bases[i])]
+                                 + lfi[i])
             elif i < R:
                 pass  # no insertions at j == T
             beta[i, j] = _logsumexp(terms) if terms else NEG_INF
@@ -107,6 +124,8 @@ def brute_force_ll(tpl, read, params: ArrowParams, snr_bin: int = 0) -> float:
     Only usable for very small tpl/read (≤ ~8 bp).
     """
     match_emit, ins_emit, del_p = position_tables(tpl, params, snr_bin)
+    bases, lfm, lfi = decode_read(read, params, snr_bin)
+    fm, fi = np.exp(lfm), np.exp(lfi)
     T = len(tpl)
 
     def rec(i: int, j: int) -> float:
@@ -114,9 +133,9 @@ def brute_force_ll(tpl, read, params: ArrowParams, snr_bin: int = 0) -> float:
             return 1.0 if i == len(read) else 0.0
         total = del_p[j] * rec(i, j + 1)
         if i < len(read):
-            b = int(read[i])
-            total += match_emit[j, b] * rec(i + 1, j + 1)
-            total += ins_emit[j, b] * rec(i + 1, j)
+            b = int(bases[i])
+            total += fm[i] * match_emit[j, b] * rec(i + 1, j + 1)
+            total += fi[i] * ins_emit[j, b] * rec(i + 1, j)
         return total
 
     p = rec(0, 0)
