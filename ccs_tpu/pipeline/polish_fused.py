@@ -70,7 +70,8 @@ def score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables,
     reg = mutation_ops_at(tpl, tlen, snr_bin, tables, p, old_kind)
     pre = prepend_ops(tpl, tlen, snr_bin, tables)
     ops = tuple(jnp.concatenate([r, q], axis=1) for r, q in zip(reg, pre))
-    lls = bridge_scores(reads, rlens, columns, ops, m_chunk=m_chunk)
+    lls = bridge_scores(reads, rlens, snr_bin, tables, columns, ops,
+                        m_chunk=m_chunk)
     valid = mutation_valid_new(tpl, tlen)
     return jnp.where(valid, lls, NEG), ll0
 
@@ -255,15 +256,44 @@ class FusedPolishState(NamedTuple):
 
 
 def _qv_from_lls(lls, ll, tpl, tlen):
-    """QV per template position from the sub+del kinds (0..4) of the final
-    mutation scores; the k == tpl[p] slot is the no-op and is excluded."""
+    """QV per template position from the final mutation scores: error mass
+    of every DISTINCT counterpart template touching the position
+    (how-does-ccs-work.md:103-106); the k == tpl[p] slot is the no-op and is
+    excluded.
+
+    Equivalence classes are counted once (the round-2 miscalibration counted
+    homopolymer deletions at every run position, multiplying their error
+    mass by the run length):
+    - deleting any base of a homopolymer run yields the same template ->
+      the delete kind counts only at the LAST position of its run;
+    - inserting base b after p and after p+1 coincide when tpl[p+1] == b ->
+      an insertion counts only where the inserted base differs from the next
+      template base (the rightmost junction of its class).
+    Insertion mass (the consensus-is-missing-a-base error mode) is assigned
+    to the base it follows; omitting it (round 2) made QVs underconfident
+    ~2x against the simulator's empirical error."""
     B, T = tpl.shape
-    sub_del = lls[:, :KINDS * T].reshape(B, T, KINDS)[..., :5]
+    reg = lls[:, :KINDS * T].reshape(B, T, KINDS)
+    sub_del = reg[..., :5]
     k = jnp.arange(5)[None, None, :]
     is_self = k == jnp.clip(tpl, 0, 3)[..., None].astype(jnp.int32)
-    delta = jnp.where(is_self, NEG, sub_del - ll[:, None, None])
+    nxt = jnp.concatenate([tpl[:, 1:], jnp.full((B, 1), -1, tpl.dtype)],
+                          axis=1)
+    j = jnp.arange(T)[None, :]
+    in_tpl = j < tlen[:, None]
+    run_last = (nxt != tpl) | (j + 1 >= tlen[:, None])       # [B, T]
+    dup_del = (k == 4) & ~run_last[..., None]
+    delta = jnp.where(is_self | dup_del, NEG, sub_del - ll[:, None, None])
     alt = jnp.where(delta > NEG / 2, delta, NEG)
     s = jnp.exp(jnp.minimum(alt, 30.0)).sum(-1)
+    # insertion kinds 5..8: base b after position p, deduped rightmost
+    ins = reg[..., 5:] - ll[:, None, None]
+    b = jnp.arange(4)[None, None, :]
+    dup_ins = (b == nxt[..., None].astype(jnp.int32)) & \
+        (j + 1 < tlen[:, None])[..., None]
+    ins = jnp.where(dup_ins | ~in_tpl[..., None], NEG, ins)
+    s = s + jnp.where(ins > NEG / 2,
+                      jnp.exp(jnp.minimum(ins, 30.0)), 0.0).sum(-1)
     p_err = s / (1.0 + s)
     qv = -10.0 * jnp.log10(jnp.maximum(p_err, 1e-9))
     return jnp.clip(qv, 0.0, 93.0), p_err
@@ -275,12 +305,24 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
                               use_pallas: bool = False,
                               interpret: bool = False,
                               thresh: float = 0.02,
-                              careful_after: int = 6):
+                              careful_after: int = 6,
+                              tail_bucket: int = 0):
     """Exhaustive multi-apply polish until no mutation improves.
 
     Same contract as pipeline.polish.polish_windows: returns
     (state, qv [B,T], p_err [B,T]). ``priority`` (C7) acts as a selection
-    mask; None = exhaustive."""
+    mask; None = exhaustive.
+
+    ``tail_bucket`` > 0 enables IN-JIT tail compaction: ~97% of windows at
+    production shapes converge within 2-3 iterations, but the lock-step
+    while_loop re-scores the whole batch until the slowest window finishes.
+    Instead, the full-batch loop runs only while more than ``tail_bucket``
+    windows are still improving; the survivors then gather (static-size
+    jnp.nonzero) into a [tail_bucket] sub-batch that finishes the loop, and
+    scatter back. No host round-trip, no dynamic shapes, bit-identical
+    results — this realizes the batch-level analog of the documented
+    candidate-heuristic economics (faq/performance.md:90-93) and composes
+    with shard_map (per-shard tails)."""
     B, T = tpl.shape
     if is_first is None:
         is_first = jnp.zeros(B, dtype=bool)
@@ -290,11 +332,36 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
     j = jnp.arange(T)[None, :]
     priority = jnp.where(j < tlen[:, None], priority.astype(jnp.float32), 0.0)
 
-    def score(t, tl):
-        return score_all(t, tl, snr_bin, reads, rlens, tables,
-                         use_pallas=use_pallas, interpret=interpret)
+    def make_body(snr_b, reads_b, rlens_b, is_first_b):
+        def score(t, tl):
+            return score_all(t, tl, snr_b, reads_b, rlens_b, tables,
+                             use_pallas=use_pallas, interpret=interpret)
 
-    lls0, ll0 = score(tpl, tlen)
+        def body(s):
+            sel, pkind, pre_sel, pre_base, _ = select_mutations(
+                s.lls, s.ll, s.priority, T, thresh=thresh)
+            sel &= s.active[:, None]
+            pre_sel &= s.active
+            ntpl, nlen, ncs, nce, npri, improved = apply_mutations(
+                s.tpl, s.tlen, s.core_start, s.core_end, s.priority, sel,
+                pkind, pre_sel, pre_base, is_first_b,
+                single=s.n_iter >= careful_after)
+            m = improved[:, None]
+            tpl2 = jnp.where(m, ntpl, s.tpl)
+            tlen2 = jnp.where(improved, nlen, s.tlen)
+            lls2, ll2 = score(tpl2, tlen2)
+            return FusedPolishState(
+                tpl=tpl2, tlen=tlen2,
+                core_start=jnp.where(improved, ncs, s.core_start),
+                core_end=jnp.where(improved, nce, s.core_end),
+                ll=ll2, lls=lls2, active=improved,
+                n_iter=s.n_iter + s.active.astype(jnp.int32),
+                priority=jnp.where(m, npri, s.priority))
+
+        return score, body
+
+    score0, body = make_body(snr_bin, reads, rlens, is_first)
+    lls0, ll0 = score0(tpl, tlen)
     has_cov = (rlens >= 0).any(-1)
     state = FusedPolishState(
         tpl=tpl, tlen=tlen, core_start=core_start.astype(jnp.int32),
@@ -304,27 +371,49 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
     def cond(s):
         return s.active.any() & (s.n_iter.max() < max_iters)
 
-    def body(s):
-        sel, pkind, pre_sel, pre_base, _ = select_mutations(
-            s.lls, s.ll, s.priority, T, thresh=thresh)
-        sel &= s.active[:, None]
-        pre_sel &= s.active
-        ntpl, nlen, ncs, nce, npri, improved = apply_mutations(
-            s.tpl, s.tlen, s.core_start, s.core_end, s.priority, sel, pkind,
-            pre_sel, pre_base, is_first, single=s.n_iter >= careful_after)
-        m = improved[:, None]
-        tpl2 = jnp.where(m, ntpl, s.tpl)
-        tlen2 = jnp.where(improved, nlen, s.tlen)
-        lls2, ll2 = score(tpl2, tlen2)
-        return FusedPolishState(
-            tpl=tpl2, tlen=tlen2,
-            core_start=jnp.where(improved, ncs, s.core_start),
-            core_end=jnp.where(improved, nce, s.core_end),
-            ll=ll2, lls=lls2, active=improved,
-            n_iter=s.n_iter + s.active.astype(jnp.int32),
-            priority=jnp.where(m, npri, s.priority))
+    if not tail_bucket or tail_bucket >= B:
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        K = tail_bucket
 
-    state = jax.lax.while_loop(cond, body, state)
+        def cond_full(s):
+            return (jnp.sum(s.active) > K) & (s.n_iter.max() < max_iters)
+
+        state = jax.lax.while_loop(cond_full, body, state)
+        # gather the <= K still-active rows; fill rows index B -> dropped
+        idx = jnp.nonzero(state.active, size=K, fill_value=B)[0]
+        idc = jnp.minimum(idx, B - 1)
+        ok = idx < B
+
+        def g(a, fill=None):
+            out = jnp.take(a, idc, axis=0)
+            if fill is not None:
+                shape = (K,) + (1,) * (out.ndim - 1)
+                out = jnp.where(ok.reshape(shape), out,
+                                jnp.asarray(fill, out.dtype))
+            return out
+
+        sub = FusedPolishState(
+            tpl=g(state.tpl), tlen=g(state.tlen, 1),
+            core_start=g(state.core_start), core_end=g(state.core_end),
+            ll=g(state.ll), lls=g(state.lls),
+            active=g(state.active, False), n_iter=g(state.n_iter),
+            priority=g(state.priority))
+        _, body_k = make_body(g(snr_bin), g(reads),
+                              g(rlens, -1), g(is_first, False))
+        sub = jax.lax.while_loop(cond, body_k, sub)
+
+        def sc(full, part):
+            return full.at[idx].set(part, mode="drop")
+
+        state = FusedPolishState(
+            tpl=sc(state.tpl, sub.tpl), tlen=sc(state.tlen, sub.tlen),
+            core_start=sc(state.core_start, sub.core_start),
+            core_end=sc(state.core_end, sub.core_end),
+            ll=sc(state.ll, sub.ll), lls=sc(state.lls, sub.lls),
+            active=sc(state.active, sub.active),
+            n_iter=sc(state.n_iter, sub.n_iter),
+            priority=sc(state.priority, sub.priority))
     qv, p_err = _qv_from_lls(state.lls, state.ll, state.tpl, state.tlen)
     return state, qv, p_err
 
@@ -332,4 +421,4 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
 polish_windows_fused = jax.jit(
     polish_windows_fused_impl,
     static_argnames=("max_iters", "use_pallas", "interpret", "thresh",
-                     "careful_after"))
+                     "careful_after", "tail_bucket"))

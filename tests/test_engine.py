@@ -82,27 +82,54 @@ class TestEngine:
         assert results[2].status == ZmwStatus.SUCCESS
 
     def test_qv_calibration(self, engine):
-        """Predicted error rate should match empirical error rate within ~3x."""
-        zmws = [simulate_zmw(hole=h, insert_len=400, n_passes=7, snr=8.0)
-                for h in range(10, 14)]
+        """SURVEY §4.2(3): predicted vs empirical error across pass counts.
+
+        Subreads are sampled from the SAME Arrow HMM the polisher scores
+        with, so the QVs must be statistically calibrated: the summed
+        per-base error probability (expected errors) must match the observed
+        edit distance to the true insert, aggregated over enough bases to
+        beat Poisson noise. Bound: within 3 QV (2x) two-sided, with a count
+        floor so a lucky zero doesn't fail the lower side."""
+        from ccs_tpu.ops.align import align_with_retry
+        zmws = []
+        hole = 200
+        for n_passes in (5, 8, 12):
+            for _ in range(4):
+                zmws.append(simulate_zmw(hole=hole, insert_len=300,
+                                         n_passes=n_passes, snr=8.5))
+                hole += 1
         results = engine.process_batch([zmw_input_from_sim(z) for z in zmws])
-        tot_pred_err = 0.0
-        tot_emp_err = 0
+        tot_pred = 0.0
+        tot_emp = 0
         tot_bases = 0
+        emp_high = 0      # residual errors on >=10-pass ZMWs
+        n_high = 0
         for z, r in zip(zmws, results):
-            if r.status != ZmwStatus.SUCCESS:
-                continue
+            # low-pass ZMWs may legitimately fall under the Q20 gate (the
+            # reference's pass-accuracy curve crosses Q20 around 7-9
+            # passes); their consensus+QVs still exist and still count
+            # toward calibration
+            assert r.status in (ZmwStatus.SUCCESS, ZmwStatus.POOR_QUALITY), \
+                (z.hole, r.status.name)
+            if len(z.subreads) >= 10:
+                assert r.status == ZmwStatus.SUCCESS, (z.hole, r.status.name)
             want = z.insert
             got = r.seq
-            if not np.array_equal(got[:5], want[:5]):
-                want = dna.revcomp(want)
-            from ccs_tpu.ops.align import align_with_retry
-            aln = align_with_retry(got, want)
-            tot_emp_err += aln.score
+            a1 = align_with_retry(got, want)
+            a2 = align_with_retry(got, dna.revcomp(want))
+            dist = min(a1.score, a2.score)
+            tot_emp += dist
             tot_bases += len(got)
-            tot_pred_err += float(np.power(10.0, -r.qv / 10.0).sum())
+            tot_pred += float(np.power(10.0, -r.qv / 10.0).sum())
+            if len(z.subreads) >= 10:
+                emp_high += dist
+                n_high += 1
         assert tot_bases > 0
-        pred_rate = tot_pred_err / tot_bases
-        emp_rate = tot_emp_err / tot_bases
-        # loose calibration bound (proper fitting comes later)
-        assert emp_rate < max(5 * pred_rate, 0.01), (pred_rate, emp_rate)
+        # two-sided calibration: predicted expected errors within 2x of
+        # observed (3 QV), with floors against small-count noise
+        assert tot_emp <= max(2.0 * tot_pred, 6.0), (tot_pred, tot_emp)
+        assert tot_pred <= max(2.0 * tot_emp, 6.0), (tot_pred, tot_emp)
+        # high-pass ZMWs are near-perfect: at >=10 passes residual
+        # consensus errors are rare (genuine ML ambiguities only)
+        assert n_high >= 4
+        assert emp_high <= max(n_high // 3, 1), (emp_high, n_high)

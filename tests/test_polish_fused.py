@@ -142,8 +142,10 @@ def test_fused_loop_matches_dense_loop():
         c = np.asarray(st_new.tpl[b][:int(st_new.tlen[b])])
         same += int(len(a) == len(c) and np.all(a == c))
     assert same >= tpl.shape[0] - 1  # rare tie-order differences allowed
-    # QVs agree where consensus agrees
-    assert float(jnp.abs(qv_old - qv_new).mean()) < 1.0
+    # (QVs are NOT compared: the fused path prices equivalence classes of
+    # mutations once and includes insertion mass — the calibrated product
+    # semantics, covered by TestEngine.test_qv_calibration — while the
+    # oracle keeps the naive per-operation QV.)
 
 
 def test_multi_apply_matches_sequential_singles():
@@ -215,3 +217,35 @@ def test_fused_loop_recovers_template():
         ok += int(len(got) == len(t) and np.all(got == t))
     assert ok >= len(true) - 1
     assert not bool(np.asarray(st.active).any())
+
+
+def test_tail_compaction_matches_plain_loop():
+    """In-jit tail compaction (tail_bucket > 0, the product configuration)
+    must produce the identical final state/QVs as the plain lock-step
+    while_loop, including NON_CONVERGENT flags, with a dead (no-coverage)
+    row mixed in."""
+    rng = np.random.default_rng(11)
+    (args, _) = _simulate_batch(rng, 12, 6, 28, 36, tl_range=(14, 23))
+    tpl, tlen, snr, reads, rlens = args
+    rlens = rlens.at[3].set(-1)  # dead row: no coverage
+    cs = jnp.full(tpl.shape[0], 2, jnp.int32)
+    ce = tlen - 2
+    st_w, qv_w, _ = polish_windows_fused(tpl, tlen, cs, ce, snr, reads,
+                                         rlens, TABLES, max_iters=12)
+    st_c, qv_c, _ = polish_windows_fused(tpl, tlen, cs, ce, snr, reads,
+                                         rlens, TABLES, max_iters=12,
+                                         tail_bucket=4)
+    np.testing.assert_array_equal(np.asarray(st_w.tpl), np.asarray(st_c.tpl))
+    np.testing.assert_array_equal(np.asarray(st_w.tlen),
+                                  np.asarray(st_c.tlen))
+    np.testing.assert_array_equal(np.asarray(st_w.core_start),
+                                  np.asarray(st_c.core_start))
+    np.testing.assert_array_equal(np.asarray(st_w.core_end),
+                                  np.asarray(st_c.core_end))
+    np.testing.assert_array_equal(np.asarray(st_w.active),
+                                  np.asarray(st_c.active))
+    live = (np.asarray(rlens) >= 0).any(-1)
+    np.testing.assert_allclose(np.asarray(st_w.ll)[live],
+                               np.asarray(st_c.ll)[live], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(qv_w)[live], np.asarray(qv_c)[live],
+                               rtol=1e-4, atol=1e-3)
