@@ -24,7 +24,9 @@ _TRIED = False
 
 
 def _build(src: str, out: str) -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    cmd = ["g++", "-O3", "-march=native",
+           "--param", "vect-max-version-for-alias-checks=50",
+           "-shared", "-fPIC", "-std=c++17", "-o", out, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -84,6 +86,34 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p,  # ops_rev, ops_len
                 ctypes.c_void_p,                   # n_match
             ]
-        except AttributeError:  # stale cached .so without the new symbol
+            fc = _LIB.ccs_anchor_chain
+            fc.restype = ctypes.c_int64
+            fc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # read, R
+                ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+                ctypes.c_int64,                    # k
+                ctypes.c_void_p, ctypes.c_int64,   # out_rt, cap
+            ]
+            fp = _LIB.ccs_pileup_draft
+            fp.restype = ctypes.c_int64
+            fp.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads, offs, n
+                ctypes.c_int64, ctypes.c_int64,    # k, band
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # sub/open/ext
+                ctypes.c_double,                   # min_identity
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # draft, cap, len
+                ctypes.c_void_p, ctypes.c_void_p,  # out_mapped, out_ident
+                ctypes.c_void_p,                   # out_weak
+            ]
+            fi = _LIB.ccs_guided_identity
+            fi.restype = ctypes.c_double
+            fi.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # read, R
+                ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+                ctypes.c_int64, ctypes.c_int64,    # k, band
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # sub/open/ext
+            ]
+        except AttributeError:  # stale cached .so without the new symbols
             pass
     return _LIB

@@ -11,8 +11,13 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libccsalign.so align.cpp
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <string>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -117,6 +122,398 @@ int64_t ccs_edit_align(const int8_t* read, int64_t R,
     return score;
 }
 
+}  // extern "C"
+
+namespace {
+
+// Core of the affine (Gotoh) banded DP; shared by the ctypes entry point
+// and the native pileup-draft kernel. ops_rev is END-FIRST; rpos_at may be
+// null. Returns the score, or -1 if the path escapes the band.
+int64_t affine_core(const int8_t* read, int64_t R,
+                    const int8_t* tpl, int64_t T,
+                    const int64_t* centers, int64_t W,
+                    int64_t sub_cost64, int64_t gap_open64, int64_t gap_ext64,
+                    int64_t* rpos_at,
+                    int8_t* ops_rev, int64_t* ops_len,
+                    int64_t* n_match) {
+    // int32 cost arithmetic (all real costs are tiny; BIG32 + a few adds
+    // stays far below INT32_MAX) and thread-local scratch: this DP runs
+    // once per (read, draft-round) on the host feeder path, so allocation
+    // and memory traffic dominate — packed backpointers (vmove | iext<<2)
+    // and 4-byte rows roughly halve the per-cell traffic vs the round-2
+    // version.
+    constexpr int32_t BIG32 = int32_t(1) << 28;
+    const int32_t sub_cost = int32_t(sub_cost64);
+    const int32_t gap_open = int32_t(gap_open64);
+    const int32_t gap_ext = int32_t(gap_ext64);
+    const int64_t width = 2 * W + 1;
+    thread_local std::vector<int32_t> prevV_s, prevI_s, curV_s, curI_s;
+    thread_local std::vector<int8_t> moves_s, dexts_s;
+    prevV_s.assign(width, BIG32);
+    prevI_s.assign(width, BIG32);
+    curV_s.assign(width, BIG32);
+    curI_s.assign(width, BIG32);
+    moves_s.resize(size_t(R) * width);       // vmove (2 bits) | iext << 2
+    dexts_s.resize(size_t(R + 1) * width);
+    int32_t* prevV = prevV_s.data();
+    int32_t* prevI = prevI_s.data();
+    int32_t* curV = curV_s.data();
+    int32_t* curI = curI_s.data();
+
+    for (int64_t k = 0; k < width; ++k) {
+        const int64_t j = centers[0] - W + k;
+        if (j >= 0 && j <= T)
+            prevV[k] = (j == 0) ? 0 : int32_t(gap_open + j * gap_ext);
+    }
+
+    // per-row scratch for the three-pass formulation (A: independent cell
+    // values, vectorizable; B: scalar prefix-min deletion scan; C: combine,
+    // vectorizable). The loop-carried D-chain is isolated into pass B so
+    // passes A/C auto-vectorize — same trick as the NumPy oracle's
+    // prefix-min, same results bit-for-bit.
+    thread_local std::vector<int32_t> ubuf_s, dbuf_s;
+    ubuf_s.resize(width);
+    dbuf_s.resize(width);
+    int32_t* ubuf = ubuf_s.data();
+    int32_t* dbuf = dbuf_s.data();
+    const int32_t go_ge = gap_open + gap_ext;
+
+    for (int64_t i = 1; i <= R; ++i) {
+        const int64_t shift = centers[i] - centers[i - 1];
+        const int8_t rc = read[i - 1];
+        int8_t* mrow = moves_s.data() + (i - 1) * width;
+        int8_t* drow = dexts_s.data() + i * width;
+        const int64_t jbase = centers[i] - W;
+        // interior range: j in [1, T], k+shift in [1, width-1] — all loads
+        // in-bounds and jm1 >= 0 there
+        int64_t klo = 1 - shift > 1 - jbase ? 1 - shift : 1 - jbase;
+        if (klo < 1) klo = 1;
+        int64_t khi = width - 1 - shift < T - jbase ? width - 1 - shift
+                                                    : T - jbase;
+        if (khi > width - 1) khi = width - 1;
+        if (khi < klo) { klo = width; khi = width - 1; }  // no interior
+
+        // ---- pass A: u[k] (BIG-masked), i_val -> curI, mv|iext -> mrow
+        const auto cellA = [&](int64_t k) {
+            const int64_t j = jbase + k;
+            const bool valid = (j >= 0 && j <= T);
+            const int64_t kp = k + shift;
+            const int32_t pV = (kp >= 0 && kp < width) ? prevV[kp] : BIG32;
+            const int32_t pI = (kp >= 0 && kp < width) ? prevI[kp] : BIG32;
+            const int64_t kd = kp - 1;
+            const int32_t dV = (kd >= 0 && kd < width) ? prevV[kd] : BIG32;
+            int32_t m_val = BIG32;
+            if (j - 1 >= 0) {
+                const int8_t tc = (j - 1 < T) ? tpl[j - 1] : int8_t(-2);
+                m_val = dV + ((tc == rc) ? 0 : sub_cost);
+            }
+            const int32_t i_open = pV + go_ge;
+            const int32_t i_ext = pI + gap_ext;
+            const int32_t i_val = i_ext <= i_open ? i_ext : i_open;
+            int32_t u = m_val <= i_val ? m_val : i_val;
+            if (!valid) u = BIG32;
+            ubuf[k] = u;
+            curI[k] = valid ? i_val : BIG32;
+            mrow[k] = int8_t((m_val <= i_val ? M_DIAG : M_UP)
+                             | ((i_ext <= i_open) ? 4 : 0));
+        };
+        for (int64_t k = 0; k < klo; ++k) cellA(k);
+        {
+            const int32_t* __restrict__ pVs = prevV + shift;
+            const int32_t* __restrict__ pIs = prevI + shift;
+            const int8_t* __restrict__ tj = tpl + jbase - 1;  // tpl[j-1]
+            int32_t* __restrict__ ub = ubuf;
+            int32_t* __restrict__ cI = curI;
+            int8_t* __restrict__ mr = mrow;
+            for (int64_t k = klo; k <= khi; ++k) {
+                const int32_t m_val = pVs[k - 1]
+                                      + ((tj[k] == rc) ? 0 : sub_cost);
+                const int32_t i_open = pVs[k] + go_ge;
+                const int32_t i_ext = pIs[k] + gap_ext;
+                const int32_t i_val = i_ext <= i_open ? i_ext : i_open;
+                ub[k] = m_val <= i_val ? m_val : i_val;
+                cI[k] = i_val;
+                mr[k] = int8_t((m_val <= i_val ? M_DIAG : M_UP)
+                               | ((i_ext <= i_open) ? 4 : 0));
+            }
+        }
+        for (int64_t k = khi + 1; k < width; ++k) cellA(k);
+
+        // ---- pass B: scalar exclusive prefix-min deletion scan
+        {
+            const int64_t kv_lo = jbase < 0 ? -jbase : 0;        // j >= 0
+            int64_t kv_hi = T - jbase;                           // j <= T
+            if (kv_hi > width - 1) kv_hi = width - 1;
+            const int64_t kj_lo = (1 - jbase) > 1 ? (1 - jbase) : 1;  // j>=1
+            int32_t runmin = BIG32;
+            int32_t d_prev = BIG32, u_prev = BIG32;
+            int32_t ge_k = 0;
+            for (int64_t k = 0; k < width; ++k, ge_k += gap_ext) {
+                const int32_t u = ubuf[k];
+                int32_t d_val = BIG32;
+                if (k >= kj_lo && k >= kv_lo && k <= kv_hi && runmin < BIG32)
+                    d_val = runmin + ge_k + gap_open;
+                drow[k] = (k > 0 && d_prev < BIG32 &&
+                           d_prev + gap_ext <= u_prev + go_ge) ? 1 : 0;
+                dbuf[k] = d_val;
+                const int32_t shifted = u - ge_k;
+                if (shifted < runmin) runmin = shifted;
+                d_prev = d_val;
+                u_prev = u;
+            }
+        }
+
+        // ---- pass C: combine V = min(U, D), record D-wins in the move
+        {
+            const int32_t* __restrict__ ub = ubuf;
+            const int32_t* __restrict__ db = dbuf;
+            int32_t* __restrict__ cV = curV;
+            int8_t* __restrict__ mr = mrow;
+            for (int64_t k = 0; k < width; ++k) {
+                const int32_t u = ub[k];
+                const int32_t d_val = db[k];
+                cV[k] = u <= d_val ? u : d_val;
+                mr[k] = (d_val < u) ? int8_t((mr[k] & 4) | M_LEFT) : mr[k];
+            }
+        }
+        std::swap(prevV, curV);
+        std::swap(prevI, curI);
+    }
+
+    const int64_t end_k = T - centers[R] + W;
+    if (end_k < 0 || end_k >= width || prevV[end_k] >= BIG32) return -1;
+    const int64_t score = prevV[end_k];
+
+    // traceback with explicit Gotoh state: 0 = V, 1 = I-chain, 2 = D-chain
+    int64_t i = R, k = end_k, nm = 0, no = 0;
+    int state = 0;
+    for (;;) {
+        const int64_t j = centers[i] - W + k;
+        if (rpos_at) rpos_at[j] = i;
+        if (i == 0 && j == 0) break;
+        if (state == 0) {
+            if (i == 0) { state = 2; continue; }
+            if (j == 0) { state = 1; continue; }
+            const int8_t mv = moves_s[(i - 1) * width + k] & 3;
+            if (mv == M_DIAG) {
+                if (read[i - 1] == tpl[j - 1]) ++nm;
+                const int64_t shift = centers[i] - centers[i - 1];
+                i -= 1; k = k - 1 + shift;
+                ops_rev[no++] = M_DIAG;
+            } else if (mv == M_UP) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            const bool was_ext =
+                i > 0 && (moves_s[(i - 1) * width + k] & 4);
+            const int64_t shift = centers[i] - centers[i - 1];
+            i -= 1; k = k + shift;
+            ops_rev[no++] = M_UP;
+            state = was_ext ? 1 : 0;
+        } else {
+            const bool was_ext = i > 0 && dexts_s[i * width + k];
+            k -= 1;
+            ops_rev[no++] = M_LEFT;
+            state = was_ext ? 2 : 0;
+        }
+    }
+    *ops_len = no;
+    *n_match = nm;
+    return score;
+}
+
+// --------------------------------------------------------------------------
+// k-mer anchor chaining (port of ccs_tpu.ops.align.anchor_chain: unique
+// template k-mers matched against the read, then patience LIS on tpos).
+// --------------------------------------------------------------------------
+
+void anchor_chain_core(const int8_t* read, int64_t R,
+                       const int8_t* tpl, int64_t T, int64_t k,
+                       std::vector<std::pair<int64_t, int64_t>>* chain) {
+    chain->clear();
+    const int64_t nt = T - k + 1, nr = R - k + 1;
+    if (nt <= 0 || nr <= 0) return;
+    // template k-mer codes -> position, or -2 for duplicates; PAD poisons
+    std::unordered_map<uint64_t, int64_t> pos;
+    pos.reserve(size_t(nt) * 2);
+    {
+        uint64_t code = 0;
+        const uint64_t mask = (k >= 32) ? ~uint64_t(0)
+                                        : ((uint64_t(1) << (2 * k)) - 1);
+        int64_t bad = 0;  // count of PAD bases in the current window
+        for (int64_t i = 0; i < T; ++i) {
+            const int8_t b = tpl[i];
+            code = ((code << 2) | uint64_t(b < 0 ? 0 : (b & 3))) & mask;
+            if (b < 0) bad = k;       // poisons the next k windows
+            else if (bad > 0) --bad;
+            if (i >= k - 1 && bad == 0) {
+                auto it = pos.find(code);
+                if (it == pos.end()) pos.emplace(code, i - k + 1);
+                else it->second = -2;
+            }
+        }
+    }
+    // read k-mers hitting unique template k-mers, in rpos order
+    std::vector<int64_t> rpos, tpos;
+    {
+        uint64_t code = 0;
+        const uint64_t mask = (k >= 32) ? ~uint64_t(0)
+                                        : ((uint64_t(1) << (2 * k)) - 1);
+        int64_t bad = 0;
+        for (int64_t i = 0; i < R; ++i) {
+            const int8_t b = read[i];
+            code = ((code << 2) | uint64_t(b < 0 ? 0 : (b & 3))) & mask;
+            if (b < 0) bad = k;
+            else if (bad > 0) --bad;
+            if (i >= k - 1 && bad == 0) {
+                auto it = pos.find(code);
+                if (it != pos.end() && it->second >= 0) {
+                    rpos.push_back(i - k + 1);
+                    tpos.push_back(it->second);
+                }
+            }
+        }
+    }
+    const int64_t n = int64_t(rpos.size());
+    if (n == 0) return;
+    // patience LIS on tpos (strictly increasing), identical tie handling to
+    // the Python bisect_left formulation
+    std::vector<int64_t> tails, tails_idx, parent(n, -1);
+    for (int64_t a = 0; a < n; ++a) {
+        const int64_t t = tpos[a];
+        const int64_t h = std::lower_bound(tails.begin(), tails.end(), t)
+                          - tails.begin();
+        if (h == int64_t(tails.size())) {
+            tails.push_back(t);
+            tails_idx.push_back(a);
+        } else {
+            tails[h] = t;
+            tails_idx[h] = a;
+        }
+        parent[a] = (h > 0) ? tails_idx[h - 1] : -1;
+    }
+    for (int64_t a = tails_idx.back(); a >= 0; a = parent[a])
+        chain->emplace_back(rpos[a], tpos[a]);
+    std::reverse(chain->begin(), chain->end());
+}
+
+// Band centers for each read row, interpolated from the anchor chain —
+// exact port of guided_align's np.interp(+np.round half-even) path.
+void centers_from_chain(const std::vector<std::pair<int64_t, int64_t>>& chain,
+                        int64_t R, int64_t T, std::vector<int64_t>* centers) {
+    const int64_t m = int64_t(chain.size()) + 2;
+    std::vector<double> rp(m), tp(m);
+    rp[0] = 0.0;
+    tp[0] = 0.0;
+    for (size_t a = 0; a < chain.size(); ++a) {
+        rp[a + 1] = double(chain[a].first);
+        tp[a + 1] = double(chain[a].second);
+    }
+    rp[m - 1] = double(R);
+    tp[m - 1] = double(T);
+    for (int64_t a = 1; a < m; ++a) {   // np.maximum.accumulate
+        if (rp[a] < rp[a - 1]) rp[a] = rp[a - 1];
+        if (tp[a] < tp[a - 1]) tp[a] = tp[a - 1];
+    }
+    centers->assign(R + 1, 0);
+    // np.interp semantics: for query x, the segment is [i, i+1] with
+    // i = upper_bound(rp, x) - 1 (x == a duplicated knot -> LAST duplicate)
+    int64_t i = 0;
+    for (int64_t x = 0; x <= R; ++x) {
+        while (i + 1 < m && rp[i + 1] <= double(x)) ++i;
+        double v;
+        if (i >= m - 1) v = tp[m - 1];
+        else if (double(x) <= rp[0]) v = tp[0];
+        else {
+            const double dx = rp[i + 1] - rp[i];
+            v = (dx <= 0.0) ? tp[i]
+                            : tp[i] + (double(x) - rp[i]) / dx * (tp[i + 1] - tp[i]);
+        }
+        (*centers)[x] = int64_t(std::nearbyint(v));  // np.round = half-even
+    }
+}
+
+// Python band_width_for: int(base + frac*max(R,T)) + |R-T|
+int64_t band_width_for(int64_t R, int64_t T) {
+    const int64_t mx = R > T ? R : T;
+    return int64_t(24.0 + 0.18 * double(mx)) + (R > T ? R - T : T - R);
+}
+
+// Rescaled-diagonal centers: np.round(arange(R+1) * (T/R)) — half-even.
+void diag_centers(int64_t R, int64_t T, std::vector<int64_t>* centers) {
+    centers->assign(R + 1, 0);
+    const double s = double(T) / double(R);
+    for (int64_t i = 0; i <= R; ++i)
+        (*centers)[i] = int64_t(std::nearbyint(double(i) * s));
+}
+
+// Python affine_align's centers post-processing for explicit centers:
+// clip to [0, T], maximum.accumulate, pin endpoints.
+void sanitize_centers(std::vector<int64_t>* centers, int64_t T) {
+    int64_t prev = 0;
+    for (auto& c : *centers) {
+        if (c < 0) c = 0;
+        if (c > T) c = T;
+        if (c < prev) c = prev;
+        prev = c;
+    }
+    (*centers)[0] = 0;
+    centers->back() = T;
+}
+
+// guided_align (affine flavor): anchor-chain banding with fallback widening.
+// Returns false if no alignment fits any band.
+bool guided_affine(const int8_t* read, int64_t R,
+                   const int8_t* tpl, int64_t T,
+                   int64_t k, int64_t band,
+                   int64_t sub_cost, int64_t gap_open, int64_t gap_ext,
+                   std::vector<int8_t>* ops_buf, int64_t* ops_len,
+                   int64_t* n_match, int64_t* score) {
+    ops_buf->resize(size_t(R + T + 2));
+    if (R == 0 || T == 0) {
+        // degenerate alignments (match Python affine_align's R==0/T==0)
+        *ops_len = 0;
+        *n_match = 0;
+        if (R == 0) {
+            for (int64_t j = 0; j < T; ++j) (*ops_buf)[(*ops_len)++] = M_LEFT;
+            *score = T ? gap_open + T * gap_ext : 0;
+        } else {
+            for (int64_t i = 0; i < R; ++i) (*ops_buf)[(*ops_len)++] = M_UP;
+            *score = gap_open + R * gap_ext;
+        }
+        return true;
+    }
+    std::vector<std::pair<int64_t, int64_t>> chain;
+    anchor_chain_core(read, R, tpl, T, k, &chain);
+    std::vector<int64_t> centers;
+    if (int64_t(chain.size()) >= 3) {
+        centers_from_chain(chain, R, T, &centers);
+        sanitize_centers(&centers, T);
+        for (int64_t w : {band, band * 2}) {
+            const int64_t W = w < T ? w : T;
+            *score = affine_core(read, R, tpl, T, centers.data(), W, sub_cost,
+                                 gap_open, gap_ext, nullptr, ops_buf->data(),
+                                 ops_len, n_match);
+            if (*score >= 0) return true;
+        }
+    }
+    diag_centers(R, T, &centers);
+    int64_t w = band_width_for(R, T);
+    const int64_t limit = R > T ? R : T;
+    for (;;) {
+        const int64_t W = w < T ? w : T;
+        *score = affine_core(read, R, tpl, T, centers.data(), W, sub_cost,
+                             gap_open, gap_ext, nullptr, ops_buf->data(),
+                             ops_len, n_match);
+        if (*score >= 0) return true;
+        if (w >= limit) return false;
+        w = w * 2 < limit ? w * 2 : limit;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
 // Banded global alignment with AFFINE gap costs (Gotoh 3-matrix DP) —
 // exact port of ccs_tpu.ops.align.affine_align's NumPy formulation (same
 // band framing, prefix-min deletion chain, tie-breaking and traceback).
@@ -130,110 +527,169 @@ int64_t ccs_affine_align(const int8_t* read, int64_t R,
                          int64_t* rpos_at,
                          int8_t* ops_rev, int64_t* ops_len,
                          int64_t* n_match) {
-    const int64_t width = 2 * W + 1;
-    std::vector<int64_t> prevV(width, BIG), prevI(width, BIG);
-    std::vector<int64_t> curV(width, BIG), curI(width, BIG);
-    // per-row backpointers: V's choice (2 bits) + I/D extension bits
-    std::vector<int8_t> vmoves(size_t(R) * width);
-    std::vector<int8_t> iexts(size_t(R) * width);
-    std::vector<int8_t> dexts(size_t(R + 1) * width);
+    return affine_core(read, R, tpl, T, centers, W, sub_cost, gap_open,
+                       gap_ext, rpos_at, ops_rev, ops_len, n_match);
+}
 
-    for (int64_t k = 0; k < width; ++k) {
-        const int64_t j = centers[0] - W + k;
-        if (j >= 0 && j <= T)
-            prevV[k] = (j == 0) ? 0 : gap_open + j * gap_ext;
+// Monotone chain of unique-k-mer anchors; out_rt is [cap][2] row-major
+// (rpos, tpos). Returns the chain length (clamped to cap).
+int64_t ccs_anchor_chain(const int8_t* read, int64_t R,
+                         const int8_t* tpl, int64_t T,
+                         int64_t k, int64_t* out_rt, int64_t cap) {
+    std::vector<std::pair<int64_t, int64_t>> chain;
+    anchor_chain_core(read, R, tpl, T, k, &chain);
+    const int64_t n = int64_t(chain.size()) < cap ? int64_t(chain.size()) : cap;
+    for (int64_t a = 0; a < n; ++a) {
+        out_rt[2 * a] = chain[a].first;
+        out_rt[2 * a + 1] = chain[a].second;
     }
+    return n;
+}
 
-    for (int64_t i = 1; i <= R; ++i) {
-        const int64_t shift = centers[i] - centers[i - 1];
-        const int8_t rc = read[i - 1];
-        int8_t* vrow = vmoves.data() + (i - 1) * width;
-        int8_t* irow = iexts.data() + (i - 1) * width;
-        int8_t* drow = dexts.data() + i * width;
-        // running exclusive prefix-min of (U[k'] - ext*k') for the D chain
-        int64_t runmin = BIG;
-        int64_t d_prev = BIG, u_prev = BIG;  // D[k-1], U[k-1] for ext bit
-        for (int64_t k = 0; k < width; ++k) {
-            const int64_t j = centers[i] - W + k;
-            const bool valid = (j >= 0 && j <= T);
-            const int64_t kp = k + shift;
-            const int64_t pV = (kp >= 0 && kp < width) ? prevV[kp] : BIG;
-            const int64_t pI = (kp >= 0 && kp < width) ? prevI[kp] : BIG;
-            const int64_t kd = kp - 1;
-            const int64_t dV = (kd >= 0 && kd < width) ? prevV[kd] : BIG;
-            const int64_t jm1 = j - 1;
-            int64_t m_val = BIG;
-            if (jm1 >= 0) {
-                const int8_t tc = (jm1 < T) ? tpl[jm1] : int8_t(-2);
-                m_val = dV + ((tc == rc) ? 0 : sub_cost);
+// Whole-pileup draft round (port of pipeline.draft._pileup_consensus): for
+// each read, anchor-chain-guided affine alignment to tpl, then weighted
+// votes (substitution / deletion / insertion-variant) and weighted-majority
+// consensus emission. One native call replaces the per-read per-cigar-op
+// Python loop that dominated round-2 host time.
+//
+//   reads_flat/offs[n+1]   concatenated oriented reads
+//   out_mapped[n]          1 if the read aligned with identity >= min_identity
+//   out_ident[n]           alignment identity per read (0 if unaligned);
+//                          the draft cascade uses the mapped mean to detect
+//                          chimeric backbones
+//   out_draft/out_cap      consensus buffer; returns -2 if it would overflow
+// Returns n_mapped (>= 0), or -2 on buffer overflow (caller falls back).
+int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
+                         const int8_t* reads_flat, const int64_t* offs,
+                         int64_t n_reads,
+                         int64_t k, int64_t band,
+                         int64_t sub_cost, int64_t gap_open, int64_t gap_ext,
+                         double min_identity,
+                         int8_t* out_draft, int64_t out_cap, int64_t* out_len,
+                         uint8_t* out_mapped, double* out_ident,
+                         double* out_weak) {
+    std::vector<double> sub_votes(size_t(T) * 4, 0.0);
+    std::vector<double> del_votes(size_t(T), 0.0), cov(size_t(T), 0.0);
+    // insertion variants per junction: (sequence, count), first-inserted
+    // order preserved so count ties resolve like Counter.most_common
+    std::unordered_map<int64_t,
+                       std::vector<std::pair<std::string, int64_t>>> ins_votes;
+    std::vector<int8_t> ops_buf;
+    int64_t n_mapped = 0;
+
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int8_t* read = reads_flat + offs[r];
+        const int64_t R = offs[r + 1] - offs[r];
+        int64_t ops_len = 0, n_match = 0, score = 0;
+        out_mapped[r] = 0;
+        out_ident[r] = 0.0;
+        if (!guided_affine(read, R, tpl, T, k, band, sub_cost, gap_open,
+                           gap_ext, &ops_buf, &ops_len, &n_match, &score))
+            continue;
+        const int64_t total = ops_len > 0 ? ops_len : 1;
+        const double ident = double(n_match) / double(total);
+        out_ident[r] = ident;
+        if (ident < min_identity) continue;
+        out_mapped[r] = 1;
+        ++n_mapped;
+        // walk ops start-first (ops_buf is end-first), accumulating votes
+        int64_t i = 0, j = 0;
+        std::string pending;
+        auto flush = [&](int64_t at) {
+            if (pending.empty()) return;
+            auto& v = ins_votes[at];
+            bool found = false;
+            for (auto& e : v)
+                if (e.first == pending) { ++e.second; found = true; break; }
+            if (!found) v.emplace_back(pending, 1);
+            pending.clear();
+        };
+        for (int64_t o = ops_len - 1; o >= 0; --o) {
+            const int8_t op = ops_buf[o];
+            if (op == M_DIAG) {
+                flush(j);
+                sub_votes[j * 4 + (read[i] & 3)] += 1.0;
+                cov[j] += 1.0;
+                ++i; ++j;
+            } else if (op == M_LEFT) {  // D: template consumed, no read base
+                flush(j);
+                del_votes[j] += 1.0;
+                cov[j] += 1.0;
+                ++j;
+            } else {                    // I: extra read base
+                pending.push_back(char(read[i] & 3));
+                ++i;
             }
-            const int64_t i_open = pV + gap_open + gap_ext;
-            const int64_t i_ext = pI + gap_ext;
-            const int64_t i_val = i_ext <= i_open ? i_ext : i_open;
-            irow[k] = (i_ext <= i_open) ? 1 : 0;
-            int64_t u = m_val <= i_val ? m_val : i_val;
-            int8_t mv = (m_val <= i_val) ? M_DIAG : M_UP;
-            if (!valid) u = BIG;
-            int64_t d_val = BIG;
-            if (k > 0 && jm1 >= 0 && runmin < BIG)
-                d_val = runmin + gap_ext * k + gap_open;
-            if (!valid) d_val = BIG;
-            drow[k] = (k > 0 && d_prev < BIG &&
-                       d_prev + gap_ext <= u_prev + gap_open + gap_ext)
-                          ? 1 : 0;
-            int64_t v = u <= d_val ? u : d_val;
-            if (d_val < u) mv = M_LEFT;
-            if (!valid) v = BIG;
-            vrow[k] = mv;
-            curV[k] = v;
-            curI[k] = valid ? i_val : BIG;
-            const int64_t shifted = u - gap_ext * k;  // u already BIG-masked
-            if (shifted < runmin) runmin = shifted;
-            d_prev = d_val;
-            u_prev = u;
         }
-        std::swap(prevV, curV);
-        std::swap(prevI, curI);
+        flush(j);
+    }
+    if (n_mapped == 0) { *out_len = 0; *out_weak = 1.0; return 0; }
+
+    // chimera signal for the draft cascade: fraction of template positions
+    // whose pileup is weak (majority base fails to clear half the local
+    // coverage, or no coverage at all) — a chimeric backbone scatters every
+    // read's votes across its junk half
+    {
+        int64_t weak = 0;
+        for (int64_t j = 0; j < T; ++j) {
+            double bc = 0.0;
+            for (int64_t b = 0; b < 4; ++b)
+                if (sub_votes[j * 4 + b] > bc) bc = sub_votes[j * 4 + b];
+            if (cov[j] <= 0.0 || 2.0 * bc <= cov[j]) ++weak;
+        }
+        *out_weak = T > 0 ? double(weak) / double(T) : 1.0;
     }
 
-    const int64_t end_k = T - centers[R] + W;
-    if (end_k < 0 || end_k >= width || prevV[end_k] >= BIG) return -1;
-    const int64_t score = prevV[end_k];
-
-    // traceback with explicit Gotoh state: 0 = V, 1 = I-chain, 2 = D-chain
-    int64_t i = R, k = end_k, nm = 0, no = 0;
-    int state = 0;
-    for (;;) {
-        const int64_t j = centers[i] - W + k;
-        rpos_at[j] = i;
-        if (i == 0 && j == 0) break;
-        if (state == 0) {
-            if (i == 0) { state = 2; continue; }
-            if (j == 0) { state = 1; continue; }
-            const int8_t mv = vmoves[(i - 1) * width + k];
-            if (mv == M_DIAG) {
-                if (read[i - 1] == tpl[j - 1]) ++nm;
-                const int64_t shift = centers[i] - centers[i - 1];
-                i -= 1; k = k - 1 + shift;
-                ops_rev[no++] = M_DIAG;
-            } else if (mv == M_UP) state = 1;
-            else state = 2;
-        } else if (state == 1) {
-            const bool was_ext = i > 0 && iexts[(i - 1) * width + k];
-            const int64_t shift = centers[i] - centers[i - 1];
-            i -= 1; k = k + shift;
-            ops_rev[no++] = M_UP;
-            state = was_ext ? 1 : 0;
+    // emit weighted-majority consensus (exact Python semantics)
+    int64_t n = 0;
+    auto emit = [&](int8_t b) -> bool {
+        if (n >= out_cap) return false;
+        out_draft[n++] = b;
+        return true;
+    };
+    for (int64_t j = 0; j <= T; ++j) {
+        auto it = ins_votes.find(j);
+        if (it != ins_votes.end() && !it->second.empty()) {
+            const std::pair<std::string, int64_t>* best = nullptr;
+            for (const auto& e : it->second)
+                if (!best || e.second > best->second) best = &e;
+            const double covj = (j < T) ? cov[j] : (T ? cov[T - 1] : 1.0);
+            const double gate = (covj > 1.0 ? covj : 1.0) / 2.0;
+            if (double(best->second) > gate)
+                for (char c : best->first)
+                    if (!emit(int8_t(c))) return -2;
+        }
+        if (j == T) break;
+        // best base: argmax over 4 (first max wins, like np.argmax)
+        int64_t bb = 0;
+        double bc = sub_votes[j * 4];
+        for (int64_t b = 1; b < 4; ++b)
+            if (sub_votes[j * 4 + b] > bc) { bc = sub_votes[j * 4 + b]; bb = b; }
+        if (del_votes[j] > bc) continue;
+        if (cov[j] > 0.0) {
+            if (!emit(int8_t(bb))) return -2;
         } else {
-            const bool was_ext = i > 0 && dexts[i * width + k];
-            k -= 1;
-            ops_rev[no++] = M_LEFT;
-            state = was_ext ? 2 : 0;
+            if (!emit(tpl[j])) return -2;
         }
     }
-    *ops_len = no;
-    *n_match = nm;
-    return score;
+    *out_len = n;
+    return n_mapped;
+}
+
+// Anchor-guided affine alignment identity (the draft-acceptance check for
+// reads beyond the vote set). Returns n_match/ops_len, or -1.0 if the read
+// does not align within any band.
+double ccs_guided_identity(const int8_t* read, int64_t R,
+                           const int8_t* tpl, int64_t T,
+                           int64_t k, int64_t band,
+                           int64_t sub_cost, int64_t gap_open,
+                           int64_t gap_ext) {
+    std::vector<int8_t> ops_buf;
+    int64_t ops_len = 0, n_match = 0, score = 0;
+    if (!guided_affine(read, R, tpl, T, k, band, sub_cost, gap_open, gap_ext,
+                       &ops_buf, &ops_len, &n_match, &score))
+        return -1.0;
+    return double(n_match) / double(ops_len > 0 ? ops_len : 1);
 }
 
 }  // extern "C"

@@ -458,8 +458,22 @@ def anchor_chain(read: np.ndarray, tpl: np.ndarray, k: int = 13
 
     Template k-mers that occur exactly once anchor the mapping; matches are
     chained by longest-increasing-subsequence on tpos (patience algorithm,
-    O(n log n)) to enforce monotonicity.
+    O(n log n)) to enforce monotonicity. Dispatches to the native C++ kernel
+    when available; the NumPy path below is the oracle/fallback.
     """
+    from ccs_tpu import native
+    lib = native.load()
+    if lib is not None and hasattr(lib, "ccs_anchor_chain"):
+        import ctypes
+        read_c = np.ascontiguousarray(read, dtype=np.int8)
+        tpl_c = np.ascontiguousarray(tpl, dtype=np.int8)
+        cap = max(len(read_c), 1)
+        out = np.empty((cap, 2), dtype=np.int64)
+        n = lib.ccs_anchor_chain(
+            read_c.ctypes.data_as(ctypes.c_void_p), len(read_c),
+            tpl_c.ctypes.data_as(ctypes.c_void_p), len(tpl_c),
+            k, out.ctypes.data_as(ctypes.c_void_p), cap)
+        return out[:n].copy()
     tk = _kmer_codes(tpl, k)
     rk = _kmer_codes(read, k)
     if len(tk) == 0 or len(rk) == 0:

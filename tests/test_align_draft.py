@@ -115,3 +115,65 @@ class TestDraft:
         res = generate_draft(subreads, [True] * 4)
         # unrelated reads: most shouldn't map back to the backbone
         assert res.n_mapped <= 2
+
+
+class TestDraftCascade:
+    def test_chimeric_backbone_fallback(self):
+        """A chimeric median read must not poison the draft: the cascade
+        retries with neighboring backbone candidates
+        (accuracy-vs-passes.md:41-46 fast->robust with fallback)."""
+        rng = np.random.default_rng(21)
+        insert = rng.integers(0, 4, 500).astype(np.int8)
+        params = default_params()
+        reads = [simulate_read(insert, params, 4, rng) for _ in range(7)]
+        # make the length-median read chimeric: half insert, half junk
+        lengths = np.asarray([len(r) for r in reads])
+        mid = int(np.argsort(lengths, kind="stable")[len(reads) // 2])
+        junk = rng.integers(0, 4, len(reads[mid]) // 2).astype(np.int8)
+        reads[mid] = np.concatenate([reads[mid][:len(reads[mid]) // 2], junk])
+        res = generate_draft(reads, [True] * 7)
+        assert res.draft is not None
+        assert res.n_mapped >= 5, res.n_mapped
+        dist = _edit_distance_dense(res.draft, insert)
+        # draft accuracy envelope at ~6 clean passes (the chimeric-backbone
+        # outcome without the cascade was 77 errors / 15%)
+        assert dist / 500 < 0.07, dist
+
+    def test_all_good_single_try(self):
+        """Happy path still takes the fast route and maps everyone."""
+        z = simulate_zmw(hole=3, insert_len=400, n_passes=6, snr=9.0)
+        res = generate_draft(z.subreads, [True] * 6)
+        assert res.draft is not None and res.n_mapped == 6
+
+
+class TestInsertionSurgery:
+    def test_big_insertion_lane_kept(self):
+        """C6 (how-does-ccs-work.md:74-78): a subread carrying a >30 bp
+        insertion burst keeps its window lane with the burst excised,
+        instead of losing the whole pass for that window."""
+        from ccs_tpu.pipeline.windows import build_window_batch
+        rng = np.random.default_rng(22)
+        draft = rng.integers(0, 4, 120).astype(np.int8)
+        # two clean reads + one with a 40bp insertion in the middle
+        clean = draft.copy()
+        burst_at = 60
+        burst = rng.integers(0, 4, 40).astype(np.int8)
+        dirty = np.concatenate([draft[:burst_at], burst, draft[burst_at:]])
+        T = len(draft)
+        rpos_clean = np.arange(T + 1)
+        rpos_dirty = np.concatenate([np.arange(burst_at + 1),
+                                     np.arange(burst_at + 1, T + 1) + 40])
+        batch = build_window_batch(
+            draft, [rpos_clean, rpos_clean.copy(), rpos_dirty],
+            [clean, clean.copy(), dirty], [True] * 3)
+        # the window containing the burst still has all 3 lanes
+        for w, win in enumerate(batch.windows):
+            assert batch.coverage[w] == 3, (w, batch.coverage[w])
+            for lane in range(3):
+                rl = batch.rlens[w, lane]
+                assert 0 < rl <= win.ext_b - win.ext_a + 40
+        # and the dirty lane's burst window slice was cut down to size
+        wb = next(w for w, win in enumerate(batch.windows)
+                  if win.ext_a <= burst_at < win.ext_b)
+        assert batch.rlens[wb, 2] <= (batch.windows[wb].ext_b
+                                      - batch.windows[wb].ext_a) + 10
