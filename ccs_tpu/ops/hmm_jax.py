@@ -107,16 +107,11 @@ def forward_batch(tpl: jnp.ndarray, tlen: jnp.ndarray, snr_bin: jnp.ndarray,
                   tables: dict) -> jnp.ndarray:
     """Batched forward log-likelihoods; see module docstring for shapes.
 
-    On TPU this dispatches to the fused Pallas kernel
-    (:mod:`ccs_tpu.ops.hmm_pallas`, ~900x faster than the scan formulation
-    on a v5e chip); the scan path below is the CPU/test oracle. Set
-    ``CCS_TPU_NO_PALLAS=1`` to force the scan path everywhere.
+    Scan formulation — the CPU/test oracle behind pipeline.polish (itself a
+    test oracle since round 3). The product TPU path is the fused
+    alpha/beta-bridging Pallas kernel (ops.hmm_score_pallas), which scores
+    the template AND all its mutations in one launch.
     """
-    import os
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("CCS_TPU_NO_PALLAS")):
-        from ccs_tpu.ops.hmm_pallas import forward_batch_pallas
-        return forward_batch_pallas(tpl, tlen, snr_bin, reads, rlens, tables)
     return _forward_batch_scan(tpl, tlen, snr_bin, reads, rlens, tables)
 
 

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ccs_tpu.pipeline.polish import polish_windows_impl
 
 
 def make_zmw_mesh(n_devices: Optional[int] = None,
@@ -31,68 +30,42 @@ def make_zmw_mesh(n_devices: Optional[int] = None,
     return jax.make_mesh((len(devices),), ("zmw",), devices=np.asarray(devices))
 
 
-def shard_polish_step(mesh: Mesh, tables: dict, max_iters: int = 40):
-    """Build a jitted polish step sharded over the ('zmw',) mesh.
-
-    Inputs shard on their leading window axis; parameter tables replicate.
-    Returns (fn, in_shardings) — fn also psum-reduces per-shard yield
-    statistics (the report all-reduce; SURVEY.md §5 metrics row).
-    """
-    data = NamedSharding(mesh, P("zmw"))
-    repl = NamedSharding(mesh, P())
-
-    def step(tables_arg, tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first):
-        # per-shard local polish: windows never communicate, so each shard
-        # iterates until ITS windows converge (no cross-device lock-step)
-        state, qv, p_err = polish_windows_impl(
-            tpl, tlen, cs, ce, snr_bin, reads, rlens, tables_arg,
-            max_iters=max_iters, is_first=is_first)
-        # global summary counters ride ICI via an explicit psum
-        n_converged = jnp.sum((~state.active).astype(jnp.int32))
-        total_iters = jnp.sum(state.n_iter)
-        yield_bases = jnp.sum(jnp.maximum(state.core_end - state.core_start, 0))
-        stats = jax.lax.psum(
-            jnp.stack([n_converged, total_iters, yield_bases]), "zmw")
-        return state, qv, stats
-
-    smapped = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(),) + (P("zmw"),) * 8,
-        out_specs=(P("zmw"), P("zmw"), P()),
-        check_vma=False)
-
-    # parameter tables replicate (L1 -> replicated device arrays, SURVEY §1)
-    tables_repl = jax.device_put(tables, jax.tree.map(lambda _: repl, tables))
-    jfn = jax.jit(smapped)
-
-    def fn(*args):
-        return jfn(tables_repl, *args)
-
-    return fn, data
-
-
 def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
-                       use_pallas: bool = False, thresh: float = 0.02):
+                       use_pallas: bool = False, thresh: float = 0.02,
+                       tail_bucket: int = 0):
     """Sharded fused polish step over the ('zmw',) mesh — the PRODUCT path.
 
     Window batches shard on their leading axis across all mesh devices
     (P1/P2); parameter tables replicate (L1). Each shard iterates until its
-    own windows converge — no cross-device lock-step, no collectives needed
-    because ZMWs never communicate (parallelize.md:7-29). Returns a jitted
+    own windows converge — no cross-device lock-step; the only collective is
+    the psum over the per-shard summary counters (P5 — the report
+    all-reduce, the TPU analog of merging chunked ccs_report counts;
+    parallelize.md:15-29). Returns a jitted
     fn(tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority) ->
-    (state, qv). Leading axes must be divisible by the mesh size.
+    (state, qv, stats) with stats = [n_converged, total_iters, yield_bases]
+    reduced across the mesh. Leading axes must be divisible by the mesh
+    size.
     """
     from ccs_tpu.pipeline.polish_fused import polish_windows_fused_impl
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
 
     def step(tables_arg, tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first,
              priority):
         state, qv, _p_err = polish_windows_fused_impl(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, tables_arg,
             max_iters=max_iters, is_first=is_first, priority=priority,
-            use_pallas=use_pallas, thresh=thresh)
-        return state, qv
+            use_pallas=use_pallas, thresh=thresh, tail_bucket=tail_bucket)
+        live = (rlens >= 0).any(-1)
+        n_conv = jnp.sum((~state.active & live).astype(jnp.int32))
+        total_iters = jnp.sum(state.n_iter)
+        yield_bases = jnp.sum(jnp.where(
+            live, jnp.maximum(state.core_end - state.core_start, 0), 0))
+        stats = jnp.stack([n_conv, total_iters, yield_bases])
+        if n_dev > 1:
+            stats = jax.lax.psum(stats, "zmw")
+        return state, qv, stats
 
-    n_dev = int(np.prod(list(mesh.shape.values())))
     if n_dev == 1:
         # single device: plain jit — shard_map adds nothing but compile time
         jfn = jax.jit(step)
@@ -101,7 +74,7 @@ def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
         smapped = jax.shard_map(
             step, mesh=mesh,
             in_specs=(P(),) + (P("zmw"),) * 9,
-            out_specs=(P("zmw"), P("zmw")),
+            out_specs=(P("zmw"), P("zmw"), P()),
             check_vma=False)
         repl = NamedSharding(mesh, P())
         tables_repl = jax.device_put(

@@ -74,8 +74,18 @@ class CcsEngine:
         self._polish_step = shard_fused_polish(
             self.mesh, self.tables,
             max_iters=self.cfg.max_polish_iterations,
-            use_pallas=use_pallas, thresh=self.cfg.tpu_polish_thresh)
+            use_pallas=use_pallas, thresh=self.cfg.tpu_polish_thresh,
+            tail_bucket=self.cfg.tpu_tail_bucket)
         self.control = _load_control(self.cfg)
+        # device-side summary counters, psum-reduced across the mesh (P5)
+        self.polish_stats = np.zeros(3, np.int64)
+        # wall-time split (SURVEY §5 tracing row): prepare is summed across
+        # the -j pool threads; device/finalize run on the main thread
+        import threading as _th
+        self._t_lock = _th.Lock()
+        self.t_prepare = 0.0   # thread-seconds in prepare_batch
+        self.t_device = 0.0    # seconds blocked on the device step
+        self.t_finalize = 0.0  # seconds in host stitch/finalize
         # bucket grids (window counts rounded up to mesh divisibility)
         self.w_buckets = tuple(sorted(
             -(-w // self.n_dev) * self.n_dev
@@ -96,6 +106,15 @@ class CcsEngine:
         """Host phase: filters/draft/align/window for a batch (thread-safe —
         pure per-ZMW work, no engine state mutation). Runs on the prepare
         pool of the orchestrator (P4)."""
+        import time as _time
+        _t0 = _time.monotonic()
+        try:
+            return self._prepare_batch(zmws)
+        finally:
+            with self._t_lock:
+                self.t_prepare += _time.monotonic() - _t0
+
+    def _prepare_batch(self, zmws: Sequence[ZmwInput]) -> list[ZmwWorkItem]:
         work: list[tuple[ZmwInput, str]] = []
         for z in zmws:
             if self.cfg.by_strand:
@@ -110,7 +129,7 @@ class CcsEngine:
         for z, strand in work:
             try:
                 item = prepare_zmw(z, self.cfg, self.params.snr_edges,
-                                   control=self.control)
+                                   control=self.control, params=self.params)
             except Exception:  # noqa: BLE001 — failures are data (SURVEY §5)
                 logger.exception("prepare failed for ZMW %s", z.hole)
                 res = ConsensusResult(hole=z.hole, movie=z.movie,
@@ -127,7 +146,8 @@ class CcsEngine:
                     try:
                         ss_item = prepare_zmw(zz, ss_cfg,
                                               self.params.snr_edges,
-                                              control=self.control)
+                                              control=self.control,
+                                              params=self.params)
                     except Exception:  # noqa: BLE001
                         logger.exception("ss prepare failed for ZMW %s", z.hole)
                         ss_res = ConsensusResult(
@@ -196,14 +216,26 @@ class CcsEngine:
                 "conv": np.ones(n, bool),
             }
 
+        # dispatch pipelining: jax dispatch is async, so submitting chunk
+        # k+1 before materializing chunk k overlaps device execution (and
+        # the dispatch round-trip when the chip is remote) with host
+        # scatter. Depth 3 bounds device-resident output memory.
+        from collections import deque
+        pending: deque = deque()
         for cb, rows in sorted(by_cb.items()):
             pos = 0
             while pos < len(rows):
                 take = min(len(rows) - pos, self.w_buckets[-1])
                 chunk = rows[pos:pos + take]
                 pos += take
-                self._run_chunk(chunk, cb, stage)
+                pending.append(self._submit_chunk(chunk, cb))
+                if len(pending) >= 3:
+                    self._collect_chunk(pending.popleft(), stage)
+        while pending:
+            self._collect_chunk(pending.popleft(), stage)
 
+        import time as _time
+        _t0 = _time.monotonic()
         for it in live:
             st = stage[id(it)]
             try:
@@ -213,8 +245,11 @@ class CcsEngine:
             except Exception:  # noqa: BLE001
                 logger.exception("finalize failed for ZMW %s", it.zmw.hole)
                 it.result.status = ZmwStatus.EXCEPTION_THROWN
+        self.t_finalize += _time.monotonic() - _t0
 
-    def _run_chunk(self, chunk, c_pad: int, stage: dict) -> None:
+    def _submit_chunk(self, chunk, c_pad: int):
+        """Build the padded bucket arrays and dispatch the polish step
+        asynchronously; returns a handle for _collect_chunk."""
         cfg = self.cfg
         t_cap = cfg.tpu_window_tpl_cap
         r_cap = cfg.tpu_window_read_cap
@@ -247,14 +282,23 @@ class CcsEngine:
             else:
                 priority[i] = b.priority[w]
 
-        state, qv = self._polish_step(
+        state, qv, stats = self._polish_step(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority)
+        return (chunk, state, qv, stats)
+
+    def _collect_chunk(self, handle, stage: dict) -> None:
+        chunk, state, qv, stats = handle
+        import time as _time
+        _t0 = _time.monotonic()
+        s = np.asarray(stats)  # materializing blocks until the device is done
         out_tpl = np.asarray(state.tpl)
         out_tlen = np.asarray(state.tlen)
         out_cs = np.asarray(state.core_start)
         out_ce = np.asarray(state.core_end)
         out_qv = np.asarray(qv)
         nonconv = np.asarray(state.active)
+        self.t_device += _time.monotonic() - _t0
+        self.polish_stats += s  # [n_converged, total_iters, yield_bases]
 
         for i, (it, w, _ex) in enumerate(chunk):
             st = stage[id(it)]

@@ -1,5 +1,7 @@
-"""Arrow polishing loop (components C8/C10, SURVEY.md §2.1): batched
-iterative mutation testing + QV calculation on device.
+"""TEST ORACLE — the round-1 dense Arrow polishing loop, kept ONLY as an
+independent implementation for cross-checking the fused product path
+(pipeline.polish_fused); no product code imports this module (the engine and
+mesh wire polish_fused exclusively since round 3).
 
 /root/reference/docs/how-does-ccs-work.md:96-101: for every candidate
 position, test whether the summed subread log-likelihood improves by
@@ -284,7 +286,8 @@ def _polish_candidates(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
         reg = mutation_ops_at(s.tpl, s.tlen, snr_bin, tables, pos8, kind8)
         pre = prepend_ops(s.tpl, s.tlen, snr_bin, tables)
         ops = tuple(jnp.concatenate([r, p], axis=1) for r, p in zip(reg, pre))
-        lls = bridge_scores(reads, rlens, columns, ops, m_chunk=m_chunk)
+        lls = bridge_scores(reads, rlens, snr_bin, tables, columns, ops,
+                            m_chunk=m_chunk)
         tl = s.tlen[:, None]
         v = (pos8 < tl) & (jnp.repeat(vals, MUTS_PER_POS, axis=1) > 0)
         v &= jnp.where(kind8 == 3, tl > 1, True)
@@ -350,7 +353,8 @@ def _polish_candidates(tpl, tlen, core_start, core_end, snr_bin, reads, rlens,
     posq = jnp.broadcast_to(jnp.repeat(jnp.arange(T), 4)[None], (B, 4 * T))
     kindq = jnp.broadcast_to(jnp.tile(jnp.arange(4), T)[None], (B, 4 * T))
     opsq = mutation_ops_at(state.tpl, state.tlen, snr_bin, tables, posq, kindq)
-    llq = bridge_scores(reads, rlens, columns, opsq, m_chunk=m_chunk)
+    llq = bridge_scores(reads, rlens, snr_bin, tables, columns, opsq,
+                        m_chunk=m_chunk)
     vq = posq < state.tlen[:, None]
     vq &= jnp.where(kindq == 3, state.tlen[:, None] > 1, True)
     delta = jnp.where(vq, llq - state.ll[:, None], NEG).reshape(B, T, 4)

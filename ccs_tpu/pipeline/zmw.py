@@ -6,8 +6,8 @@ ZMW terminates in exactly one ZmwStatus; a failed ZMW never aborts a batch.
 
 Split into three phases so the device work batches across many ZMWs:
   1. ``prepare_zmw``  (host): filters, draft, window batch construction
-  2. ``polish_windows`` (device, ccs_tpu.pipeline.polish): batched over the
-     concatenated windows of many ZMWs
+  2. ``polish_windows_fused`` (device, ccs_tpu.pipeline.polish_fused):
+     batched over the concatenated windows of many ZMWs
   3. ``finalize_zmw`` (host): stitch cores, rq gate, tags/metrics
 """
 
@@ -170,7 +170,8 @@ def is_control_read(seq: np.ndarray, control: np.ndarray,
 
 def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
                 params_snr_edges: np.ndarray,
-                control: Optional[np.ndarray] = None) -> ZmwWorkItem:
+                control: Optional[np.ndarray] = None,
+                params=None) -> ZmwWorkItem:
     """Host phase 1: filters + draft + window batch. Never raises on bad
     data — errors become EXCEPTION_THROWN by the caller. ``control`` is the
     spike-in control reference sequence, if the run has one
@@ -306,9 +307,15 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         rpos[T] = min(len(read), int(rpos[T]) + 6)
         rpos_list.append(rpos)
         # end-to-end span: anchors reach near both draft ends (margin is
-        # fractional but at least a k-mer-placement-limited 60 bp)
+        # fractional but at least a k-mer-placement-limited 60 bp). At
+        # marginal SNR (~85% read accuracy) exact 13-mer anchors thin out
+        # and genuinely spanning reads can miss the end margins, so a
+        # mapped read whose LENGTH is compatible with the draft also counts
+        # — the reference aligns full reads and has no anchor-density
+        # dependence (how-does-ccs-work.md:53-55).
         margin = max(0.05 * T, 60.0)
-        if chain[0, 1] < margin and chain[-1, 1] > T - margin:
+        if (chain[0, 1] < margin and chain[-1, 1] > T - margin) or \
+                (0.7 * T <= len(read) <= 1.6 * T):
             spans += 1
     if spans < max(cfg.min_passes, 1):
         return fail(ZmwStatus.INSUFFICIENT_SPANS)
@@ -330,9 +337,26 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     oriented = [dna.revcomp(s.seq) if strand else s.seq
                 for s, strand in zip(subs, dr.strands)]
 
+    # pulse-width conditioning (how-does-ccs-work.md:88-95): when subreads
+    # carry pw kinetics, pack per-base pw bins into the read codes so the
+    # polisher's emissions see the kinetics evidence (codes base + 4*pw;
+    # chemistry.pack_read_pw). Draft/anchor work above stays base-only.
+    polish_reads = oriented
+    if cfg.tpu_use_pw and params is not None and \
+            any(s.pw is not None for s in subs):
+        from ccs_tpu.models.chemistry import pack_read_pw
+        polish_reads = []
+        for s, strand, rd in zip(subs, dr.strands, oriented):
+            if s.pw is None:
+                polish_reads.append(rd)
+                continue
+            pw = s.pw[::-1] if strand else s.pw
+            bins = params.pw_bin(pw).astype(np.int8)
+            polish_reads.append(pack_read_pw(rd, bins))
+
     # 4. windows + slices
     batch = build_window_batch(
-        draft, rpos_list, oriented, [s.full_length for s in subs],
+        draft, rpos_list, polish_reads, [s.full_length for s in subs],
         t_cap=cfg.tpu_window_tpl_cap, r_cap=cfg.tpu_window_read_cap,
         c_cap=cfg.tpu_window_coverage_cap,
         size=cfg.window_size, overlap=cfg.window_overlap,

@@ -128,40 +128,3 @@ class TestJaxForward:
         a = run(16, len(r), 1)
         b = run(32, len(r) + 13, 7)
         assert a == pytest.approx(b, rel=1e-5)
-
-
-class TestPallasForward:
-    """The Pallas TPU kernel (interpret mode on CPU) vs the scan oracle."""
-
-    def test_matches_scan_path(self, params):
-        import jax.numpy as jnp
-        from ccs_tpu.ops import hmm_jax
-        from ccs_tpu.ops.hmm_pallas import forward_batch_pallas
-
-        rng = np.random.default_rng(7)
-        tables = hmm_jax.params_to_device(params)
-        B, C, T, R = 6, 3, 20, 32
-        tpl = np.full((B, T), dna.PAD, np.int8)
-        tlen = np.zeros(B, np.int32)
-        reads = np.full((B, C, R), dna.PAD, np.int8)
-        rlens = np.full((B, C), -1, np.int32)
-        snr_bin = rng.integers(0, 8, B).astype(np.int32)
-        for b in range(B):
-            tl = int(rng.integers(4, T + 1))
-            t = rng.integers(0, 4, tl).astype(np.int8)
-            tpl[b, :tl] = t
-            tlen[b] = tl
-            for c in range(C):
-                if b == 1 and c == 2:
-                    continue                     # absent lane
-                if b == 2 and c == 0:
-                    rlens[b, c] = 0              # empty read
-                    continue
-                r = simulate_read(t, params, int(snr_bin[b]), rng)[:R]
-                reads[b, c, :len(r)] = r
-                rlens[b, c] = len(r)
-        args = [jnp.asarray(x) for x in (tpl, tlen, snr_bin, reads, rlens)]
-        want = np.asarray(hmm_jax._forward_batch_scan(*args, tables))
-        got = np.asarray(forward_batch_pallas(
-            *args, tables, interpret=True, lane_block=128))
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

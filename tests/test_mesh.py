@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from ccs_tpu.models.chemistry import default_params
 from ccs_tpu.ops.hmm_jax import params_to_device
 from ccs_tpu.parallel.mesh import (device_put_sharded_batch, make_zmw_mesh,
-                                   shard_polish_step)
-from ccs_tpu.pipeline.polish import polish_windows
+                                   shard_fused_polish)
+from ccs_tpu.pipeline.polish_fused import polish_windows_fused
 from ccs_tpu.sim.simulator import simulate_read
 
 
@@ -53,14 +53,19 @@ class TestMesh:
         assert len(jax.devices()) >= 8
 
     def test_sharded_equals_single(self, batch):
+        """The PRODUCT path: 8-way fused polish == single-device fused
+        polish, with the psum'd stats matching a local reduction (the
+        --chunk-merge contract, parallelize.md:15-29)."""
         args, tables = batch
+        B = args[0].shape[0]
+        priority = jnp.ones((B, args[0].shape[1]), jnp.float32)
         # single-device reference
-        state1, qv1, _ = polish_windows(*args[:7], tables, max_iters=6,
-                                        is_first=args[7])
+        state1, qv1, _ = polish_windows_fused(*args[:7], tables, max_iters=6,
+                                              is_first=args[7])
         # 8-way sharded
         mesh = make_zmw_mesh(8)
-        fn, _ = shard_polish_step(mesh, tables, max_iters=6)
-        sharded = device_put_sharded_batch(mesh, args)
+        fn = shard_fused_polish(mesh, tables, max_iters=6)
+        sharded = device_put_sharded_batch(mesh, args + (priority,))
         state8, qv8, stats = fn(*sharded)
         np.testing.assert_array_equal(np.asarray(state1.tpl),
                                       np.asarray(state8.tpl))
@@ -68,8 +73,13 @@ class TestMesh:
                                       np.asarray(state8.tlen))
         np.testing.assert_allclose(np.asarray(qv1), np.asarray(qv8),
                                    rtol=1e-4, atol=1e-3)
-        # psum'd stats agree with local reduction
-        assert int(stats[0]) == int((~np.asarray(state1.active)).sum())
+        # psum'd stats agree with a local reduction over the same batch
+        live = (np.asarray(args[6]) >= 0).any(-1)
+        assert int(stats[0]) == int((~np.asarray(state1.active) & live).sum())
+        want_yield = int(np.where(
+            live, np.maximum(np.asarray(state1.core_end)
+                             - np.asarray(state1.core_start), 0), 0).sum())
+        assert int(stats[2]) == want_yield
 
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
