@@ -60,10 +60,31 @@ class HmmColumns(NamedTuple):
 
 
 def _onehot_reads(reads: jnp.ndarray) -> jnp.ndarray:
-    """[B,C,R] int8 -> [B,C,R,4] f32; PAD (-1) rows are all-zero."""
+    """[B,C,R] int8 (packed base + 4*pw codes) -> [B,C,R,4] f32 one-hot of
+    the BASE; PAD (-1) rows are all-zero."""
     r = reads.astype(jnp.int32)
-    oh = jax.nn.one_hot(jnp.clip(r, 0, 3), 4, dtype=jnp.float32)
+    oh = jax.nn.one_hot(jnp.clip(r, 0, 15) % 4, 4, dtype=jnp.float32)
     return jnp.where((r >= 0)[..., None], oh, 0.0)
+
+
+def _oh_pw(reads: jnp.ndarray, snr_bin: jnp.ndarray, tables: dict):
+    """Pulse-width-conditioned emission planes (how-does-ccs-work.md:88-95).
+
+    Returns (ohm, ohi) [B,C,R,4]: one-hot of the read base scaled by the
+    per-base pw likelihood factor for Match (ohm) and Branch/Stick (ohi)
+    emissions. Plain-base reads (codes 0..3) are pw bin 0, factor 1, so the
+    pw-agnostic path is the special case."""
+    B = reads.shape[0]
+    r = reads.astype(jnp.int32)
+    c = jnp.clip(r, 0, 15)
+    oh = jax.nn.one_hot(c % 4, 4, dtype=jnp.float32)
+    oh = jnp.where((r >= 0)[..., None], oh, 0.0)
+    w = c // 4
+    bi = jnp.arange(B)[:, None, None]
+    fm = tables["pw_match"][snr_bin][bi[..., 0], w] if False else \
+        tables["pw_match"][snr_bin[:, None, None], w]
+    fi = tables["pw_ins"][snr_bin[:, None, None], w]
+    return oh * fm[..., None], oh * fi[..., None]
 
 
 def _solve_fwd(y: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
@@ -114,12 +135,12 @@ def build_columns(tpl, tlen, snr_bin, reads, rlens, tables) -> HmmColumns:
     B, T = tpl.shape
     _, C, R = reads.shape
     me, ie, dp = _padded_tables(tpl, tlen, snr_bin, tables)
-    oh = _onehot_reads(reads)                              # [B,C,R,4]
+    ohm, ohi = _oh_pw(reads, snr_bin, tables)              # [B,C,R,4]
     rl = rlens.astype(jnp.int32)
 
-    def emit_r(vec4):
-        """[B,4] -> [B,C,R+1] with entry i = vec4[r_i] (i=1..R), 0 at i=0."""
-        v = jnp.einsum("bcrx,bx->bcr", oh, vec4)
+    def emit_r(ohx, vec4):
+        """[B,4] -> [B,C,R+1] with entry i = f_i * vec4[base_i], 0 at i=0."""
+        v = jnp.einsum("bcrx,bx->bcr", ohx, vec4)
         return jnp.concatenate(
             [jnp.zeros_like(v[..., :1]), v], axis=-1)
 
@@ -131,8 +152,8 @@ def build_columns(tpl, tlen, snr_bin, reads, rlens, tables) -> HmmColumns:
         dpj = jnp.where(j > 0, dp[jnp.arange(B), jnp.maximum(j - 1, 0)], 1.0)
         me4 = jnp.where((j > 0), me[jnp.arange(B), jnp.maximum(j - 1, 0)], 0.0)
         ie4 = jnp.where((j < T), ie[jnp.arange(B), jnp.minimum(j, T - 1)], 0.0)
-        me_r = emit_r(me4)
-        ie_r = emit_r(ie4)
+        me_r = emit_r(ohm, me4)
+        ie_r = emit_r(ohi, ie4)
         y = dpj[:, None, None] * col + me_r * _shift1(col)
         new = _solve_fwd(y, ie_r)
         s = jnp.maximum(jnp.max(new, axis=-1, keepdims=True), TINY)
@@ -168,11 +189,11 @@ def build_columns(tpl, tlen, snr_bin, reads, rlens, tables) -> HmmColumns:
         dpj = dp[jnp.arange(B), j]                         # [B]
         me4 = me[jnp.arange(B), j]
         ie4 = ie[jnp.arange(B), j]
-        me_r = emit_r(me4)                                 # entry i = me4[r_i]
+        me_r = emit_r(ohm, me4)                            # entry i = me4[r_i]
         # backward uses r_{i+1}: shift left
         me_rs = jnp.concatenate([me_r[..., 1:], jnp.zeros_like(me_r[..., :1])],
                                 axis=-1)
-        ie_rf = emit_r(ie4)
+        ie_rf = emit_r(ohi, ie4)
         ie_rs = jnp.concatenate([ie_rf[..., 1:], jnp.zeros_like(ie_rf[..., :1])],
                                 axis=-1)
         up = jnp.concatenate([beta[..., 1:], jnp.zeros_like(beta[..., :1])],
@@ -374,14 +395,15 @@ def mutation_ops(tpl, tlen, snr_bin, tables):
     return tuple(jnp.concatenate([r, p], axis=1) for r, p in zip(reg, pre))
 
 
-def bridge_scores(reads, rlens, columns: HmmColumns, ops, m_chunk: int = 28):
+def bridge_scores(reads, rlens, snr_bin, tables, columns: HmmColumns, ops,
+                  m_chunk: int = 28):
     """Summed-over-subreads LL of each mutation in ``ops`` via column
     bridging: [B, M]. ``ops`` = (me4, ie4, dp4, start, qidx) from
     mutation_ops / mutation_ops_at / prepend_ops (concatenable on axis 1)."""
     me4, ie4, dp4, start, qidx = ops
     B, M = start.shape
     _, C, R = reads.shape
-    oh = _onehot_reads(reads)                              # [B,C,R,4]
+    ohm, ohi = _oh_pw(reads, snr_bin, tables)              # [B,C,R,4]
     rl = rlens.astype(jnp.int32)
 
     n_chunks = -(-M // m_chunk)
@@ -404,8 +426,8 @@ def bridge_scores(reads, rlens, columns: HmmColumns, ops, m_chunk: int = 28):
             columns.ls_col, jnp.broadcast_to(s_c[:, None], (B, C, mc)), axis=2)
         for o in range(3):
             # per-read emission rows: [B,C,mc,R] then pad i=0
-            me_r = jnp.einsum("bcrx,bmx->bcmr", oh, me_c[:, :, o])
-            ie_r = jnp.einsum("bcrx,bmx->bcmr", oh, ie_c[:, :, o])
+            me_r = jnp.einsum("bcrx,bmx->bcmr", ohm, me_c[:, :, o])
+            ie_r = jnp.einsum("bcrx,bmx->bcmr", ohi, ie_c[:, :, o])
             z = jnp.zeros_like(me_r[..., :1])
             me_r = jnp.concatenate([z, me_r], axis=-1)
             ie_r = jnp.concatenate([z, ie_r], axis=-1)
@@ -436,5 +458,6 @@ def score_mutants_cols(tpl, tlen, snr_bin, reads, rlens, tables,
     path's depth-8 delete truncation).
     """
     ops = mutation_ops(tpl, tlen, snr_bin, tables)
-    lls = bridge_scores(reads, rlens, columns, ops, m_chunk=m_chunk)
+    lls = bridge_scores(reads, rlens, snr_bin, tables, columns, ops,
+                        m_chunk=m_chunk)
     return jnp.where(valid, lls, NEG)

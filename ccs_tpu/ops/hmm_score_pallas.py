@@ -80,16 +80,21 @@ def _solve_bwd(y, a):
     return x
 
 
-def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
+def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
+                  PWI_ref, reads_ref,
                   rl_ref, lls_ref, ll0_ref,
                   mex_ref, iex_ref, dpx_ref, meM_ref, ieM_ref, dpM_ref,
-                  fcols_ref, lsf_ref, betas_ref, lsb_ref, ohd_ref, ohu_ref,
+                  fcols_ref, lsf_ref, betas_ref, lsb_ref,
+                  ohdm_ref, ohdi_ref, ohum_ref, ohui_ref,
                   dots_ref, lsr_ref,
                   *, T: int, C: int, R: int, S: int):
     """One 128-window block. See module docstring for the layout.
 
     tpl [T,LB] i32 (clipped), tlen [1,LB], ME/IE [16,4,LB], DP [16,LB],
-    reads [C,R,LB] i32, rl [C,LB] -> lls [16,T+1,LB] (slot [k,p] = mutation
+    PWM/PWI [4,LB] pulse-width factors per pw bin (how-does-ccs-work.md:
+    88-95), reads [C,R,LB] i32 PACKED codes base + 4*pw (chemistry.
+    pack_read_pw; plain 0..3 codes are pw bin 0, factor 1),
+    rl [C,LB] -> lls [16,T+1,LB] (slot [k,p] = mutation
     9p+k; [0:4,T] = prepends), ll0 [8,LB] (row 0).
     """
     LB = tpl_ref.shape[-1]
@@ -172,14 +177,26 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
         return r
 
     def c_body(c, _):
-        rc = reads_ref[c]                              # [R, LB] i32
+        rc = reads_ref[c]                              # [R, LB] i32 codes
         rl_c = rl_ref[pl.ds(c, 1)]                     # [1, LB]
         live = (rl_c >= 0).astype(jnp.float32)
         zpad = jnp.zeros((S - R - 1, LB), jnp.float32)
+        ok = (rc >= 0)
+        code = jnp.clip(rc, 0, 15)
+        base = code % 4
+        w = code // 4
+        fm = jnp.zeros((R, LB), jnp.float32)
+        fi = jnp.zeros((R, LB), jnp.float32)
+        for k in range(4):
+            wk = (w == k).astype(jnp.float32)
+            fm = fm + wk * PWM_ref[k:k + 1]
+            fi = fi + wk * PWI_ref[k:k + 1]
         for x in range(4):
-            hx = (rc == x).astype(jnp.float32)
-            ohd_ref[x] = jnp.concatenate([z1, hx, zpad], axis=0)
-            ohu_ref[x] = jnp.concatenate([hx, zpad, z1], axis=0)
+            hx = ((base == x) & ok).astype(jnp.float32)
+            ohdm_ref[x] = jnp.concatenate([z1, hx * fm, zpad], axis=0)
+            ohdi_ref[x] = jnp.concatenate([z1, hx * fi, zpad], axis=0)
+            ohum_ref[x] = jnp.concatenate([hx * fm, zpad, z1], axis=0)
+            ohui_ref[x] = jnp.concatenate([hx * fi, zpad, z1], axis=0)
 
         # ---- forward columns ----
         fcols_ref[0] = e0
@@ -190,8 +207,8 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
             me4 = mex_ref[:, pl.ds(j, 1)]              # [4, 1, LB]
             ie4 = iex_ref[:, pl.ds(j, 1)]
             dpj = dpx_ref[pl.ds(j, 1)]                 # [1, LB]
-            me_r = emis(ohd_ref, me4)
-            ie_r = emis(ohd_ref, ie4)
+            me_r = emis(ohdm_ref, me4)
+            ie_r = emis(ohdi_ref, ie4)
             y = dpj * col + me_r * _shift_down(col, 1)
             w = _solve_fwd(y, ie_r)
             sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
@@ -216,8 +233,8 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
             me4 = mex_ref[:, pl.ds(j + 1, 1)]          # me[j]
             ie4 = iex_ref[:, pl.ds(j, 1)]              # ie[j]
             dpj = dpx_ref[pl.ds(j + 1, 1)]             # dp[j]
-            me_rs = emis(ohu_ref, me4)
-            ie_rs = emis(ohu_ref, ie4)
+            me_rs = emis(ohum_ref, me4)
+            ie_rs = emis(ohui_ref, ie4)
             u = dpj * beta + me_rs * _shift_up(beta, 1)
             w = _solve_bwd(u, ie_rs)
             sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
@@ -238,8 +255,8 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
             lsc_p = lsf_ref[pl.ds(p, 1)]
             lsc_p1 = lsf_ref[pl.ds(p + 1, 1)]
             lsb_q = lsb_ref[pl.ds(q, 1)]
-            me_r_pm1 = emis(ohd_ref, mex_ref[:, pl.ds(p, 1)])
-            me_r_p = emis(ohd_ref, mex_ref[:, pl.ds(p + 1, 1)])
+            me_r_pm1 = emis(ohdm_ref, mex_ref[:, pl.ds(p, 1)])
+            me_r_p = emis(ohdm_ref, mex_ref[:, pl.ds(p + 1, 1)])
             dp_pm1 = dpx_ref[pl.ds(p, 1)]
             dp_p = dpx_ref[pl.ds(p + 1, 1)]
             y_p = dp_pm1 * colm1 + me_r_pm1 * _shift_down(colm1, 1)
@@ -263,19 +280,19 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
                 meC = meM_ref[8 + x, :, pl.ds(p, 1)]
                 ieC = ieM_ref[8 + x, :, pl.ds(p, 1)]
                 dpC = dpM_ref[8 + x, pl.ds(p, 1)]
-                Bie_r = emis(ohd_ref, ieB)
-                Bme_r = emis(ohd_ref, meB)
-                subs.append(two_ops(y_p, emis(ohd_ref, ieA),
-                                    emis(ohd_ref, meA), dpA,
+                Bie_r = emis(ohdi_ref, ieB)
+                Bme_r = emis(ohdm_ref, meB)
+                subs.append(two_ops(y_p, emis(ohdi_ref, ieA),
+                                    emis(ohdm_ref, meA), dpA,
                                     Bie_r, Bme_r, dpB))
-                inss.append(two_ops(y_p1, emis(ohd_ref, ieC),
-                                    emis(ohd_ref, meC), dpC,
+                inss.append(two_ops(y_p1, emis(ohdi_ref, ieC),
+                                    emis(ohdm_ref, meC), dpC,
                                     Bie_r, Bme_r, dpB))
             meD = meM_ref[12, :, pl.ds(p, 1)]
             ieD = ieM_ref[12, :, pl.ds(p, 1)]
             dpD = dpM_ref[12, pl.ds(p, 1)]
-            v1d = _solve_fwd(y_p, emis(ohd_ref, ieD))
-            y2d = dpD * v1d + emis(ohd_ref, meD) * _shift_down(v1d, 1)
+            v1d = _solve_fwd(y_p, emis(ohdi_ref, ieD))
+            y2d = dpD * v1d + emis(ohdm_ref, meD) * _shift_down(v1d, 1)
             dot_del = jnp.sum(y2d * betaq, axis=0, keepdims=True)
 
             block = jnp.concatenate(subs + [dot_del] + inss, axis=0)  # [9,LB]
@@ -306,10 +323,10 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, reads_ref,
                 me_x0 = me_x0 + mb * ME_ref[4 * x + b]
                 ie_x0 = ie_x0 + mb * IE_ref[4 * x + b]
                 dp_x0 = dp_x0 + mb * DP_ref[4 * x + b:4 * x + b + 1]
-            v1 = _solve_fwd(e0, emis(ohd_ref, ie_xx[:, None]))
-            y2 = dp_xx * v1 + emis(ohd_ref, me_xx[:, None]) * _shift_down(v1, 1)
-            v2 = _solve_fwd(y2, emis(ohd_ref, ie_x0[:, None]))
-            y3 = dp_x0 * v2 + emis(ohd_ref, me_x0[:, None]) * _shift_down(v2, 1)
+            v1 = _solve_fwd(e0, emis(ohdi_ref, ie_xx[:, None]))
+            y2 = dp_xx * v1 + emis(ohdm_ref, me_xx[:, None]) * _shift_down(v1, 1)
+            v2 = _solve_fwd(y2, emis(ohdi_ref, ie_x0[:, None]))
+            y3 = dp_x0 * v2 + emis(ohdm_ref, me_x0[:, None]) * _shift_down(v2, 1)
             pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
         dots_ref[0:4, pl.ds(T, 1)] = jnp.concatenate(pres, axis=0)[:, None, :]
         lsr_ref[0:4, pl.ds(T, 1)] = jnp.broadcast_to(
@@ -351,6 +368,8 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
     ME_t = jnp.transpose(ME, (1, 2, 0))                # [16, 4, B]
     IE_t = jnp.transpose(IE, (1, 2, 0))
     DP_t = DP.T                                        # [16, B]
+    PWM_t = tables["pw_match"][snr_bin].T              # [4, B]
+    PWI_t = tables["pw_ins"][snr_bin].T
     tpl_t = jnp.clip(tpl, 0, 3).astype(jnp.int32).T    # [T, B]
     tlen_t = tlen.astype(jnp.int32)[None]              # [1, B]
     reads_t = jnp.transpose(reads, (1, 2, 0)).astype(jnp.int32)  # [C, R, B]
@@ -363,6 +382,8 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
         ME_t = jnp.pad(ME_t, ((0, 0), (0, 0), (0, pad)))
         IE_t = jnp.pad(IE_t, ((0, 0), (0, 0), (0, pad)))
         DP_t = jnp.pad(DP_t, ((0, 0), (0, pad)))
+        PWM_t = jnp.pad(PWM_t, ((0, 0), (0, pad)), constant_values=1.0)
+        PWI_t = jnp.pad(PWI_t, ((0, 0), (0, pad)), constant_values=1.0)
         tpl_t = jnp.pad(tpl_t, ((0, 0), (0, pad)))
         tlen_t = jnp.pad(tlen_t, ((0, 0), (0, pad)), constant_values=1)
         reads_t = jnp.pad(reads_t, ((0, 0), (0, 0), (0, pad)),
@@ -387,6 +408,8 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
             lane_spec((16, 4)),       # ME
             lane_spec((16, 4)),       # IE
             lane_spec((16,)),         # DP
+            lane_spec((4,)),          # PWM
+            lane_spec((4,)),          # PWI
             lane_spec((C, R)),        # reads
             lane_spec((C,)),          # rl
         ],
@@ -404,13 +427,15 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
             pltpu.VMEM((T + 2, LB), jnp.float32),          # lsf
             pltpu.VMEM((T + 1, S, LB), jnp.float32),       # betas
             pltpu.VMEM((T + 1, LB), jnp.float32),          # lsb
-            pltpu.VMEM((4, S, LB), jnp.float32),           # ohd
-            pltpu.VMEM((4, S, LB), jnp.float32),           # ohu
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohdm
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohdi
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohum
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohui
             pltpu.VMEM((16, T + 1, LB), jnp.float32),      # dots
             pltpu.VMEM((16, T + 1, LB), jnp.float32),      # lsrows
         ],
         interpret=interpret,
-    )(tpl_t, tlen_t, ME_t, IE_t, DP_t, reads_t, rl_t)
+    )(tpl_t, tlen_t, ME_t, IE_t, DP_t, PWM_t, PWI_t, reads_t, rl_t)
 
     # reassemble [B, 9T+4]: slot [k, p] -> m = 9p + k; [0:4, T] = prepends
     lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 16]

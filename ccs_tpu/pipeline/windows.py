@@ -126,8 +126,9 @@ def candidate_priority(draft: np.ndarray,
         lo = np.asarray(rpos[:T], dtype=np.int64)
         hi = np.asarray(rpos[1:T + 1], dtype=np.int64)
         live = hi > lo
-        base = read[np.clip(lo, 0, max(len(read) - 1, 0))] if len(read) \
+        code = read[np.clip(lo, 0, max(len(read) - 1, 0))] if len(read) \
             else np.full(T, -1, np.int8)
+        base = np.where(code >= 0, code % 4, code)  # packed base+4*pw codes
         mism = (base != draft) | (hi - lo != 1)
         cnt += (mism & live)
         ncov += live
@@ -202,8 +203,23 @@ def build_window_batch(draft: np.ndarray,
                 continue  # subread does not span this window
             win_len = win.ext_b - win.ext_a
             if hi - lo > win_len + max_insertion_size:
-                continue  # large-insertion trim (C6)
-            piece = reads[s][lo:hi][:r_cap]
+                # large-insertion trim (C6, how-does-ccs-work.md:74-78):
+                # excise the oversized insertion burst instead of dropping
+                # the whole lane (the rest of the pass is good evidence).
+                # The burst sits at the largest read-coordinate jump of the
+                # window span; cut the excess out around it, keeping
+                # win_len + a small slack of bases.
+                steps = np.diff(np.asarray(
+                    rpos[win.ext_a:win.ext_b + 1], dtype=np.int64))
+                j_burst = int(np.argmax(steps))
+                cut = int(rpos[win.ext_a + j_burst]) + 1
+                keep = win_len + 8
+                excess = (hi - lo) - keep
+                left = reads[s][lo:min(cut, lo + keep)]
+                right = reads[s][max(cut + excess, cut):hi]
+                piece = np.concatenate([left, right])[:r_cap]
+            else:
+                piece = reads[s][lo:hi][:r_cap]
             out_reads[w, lane, :len(piece)] = piece
             rlens[w, lane] = len(piece)
             fl[w, lane] = full_length[s]
