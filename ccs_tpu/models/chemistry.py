@@ -185,9 +185,28 @@ def default_params(name: str = "default") -> ArrowParams:
     return p
 
 
-# Chemistries we recognize out of the box (BINDINGKIT part codes; the actual
-# parameter values are the default model until fitted per chemistry).
-_BUILTIN_CHEMISTRIES = {}
+# Chemistries we recognize out of the box, keyed by BINDINGKIT part code.
+# Values are paths (relative to models/data/) of fitted model.json bundles
+# produced by models/fit.py — PacBio's own tables are not public
+# (docs/faq/chemistry.md), so these are fitted from sampled training reads
+# and are re-fittable from real subreads via fit.fit_from_zmws.
+_BUILTIN_CHEMISTRIES = {
+    "101-894-200": "arrow_101-894-200.json",   # Sequel II SP3-C3-style kit
+}
+_loaded_builtins: dict[str, "ArrowParams"] = {}
+
+
+def _builtin(key: str) -> Optional["ArrowParams"]:
+    if key not in _BUILTIN_CHEMISTRIES:
+        return None
+    if key not in _loaded_builtins:
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            _BUILTIN_CHEMISTRIES[key])
+        with open(path) as fh:
+            _loaded_builtins[key] = ArrowParams.from_json(fh.read())
+        logger.info("Loaded built-in chemistry model for %s (%s)", key,
+                    _loaded_builtins[key].name)
+    return _loaded_builtins[key]
 
 
 def load_model(chemistry: Optional[dict[str, str]],
@@ -206,6 +225,7 @@ def load_model(chemistry: Optional[dict[str, str]],
                 return ArrowParams.from_json(fh.read())
     if chemistry:
         key = chemistry.get("BINDINGKIT", "")
-        if key in _BUILTIN_CHEMISTRIES:
-            return _BUILTIN_CHEMISTRIES[key]
+        builtin = _builtin(key)
+        if builtin is not None:
+            return builtin
     return default_params()
