@@ -86,6 +86,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spike-in control reference (fail-reads 0x2); "
                         "defaults to controls.fasta in "
                         "$SMRT_CHEMISTRY_BUNDLE_DIR if present")
+    p.add_argument("--tpu-num-hosts", type=int, default=1,
+                   help="run as one of N cooperating hosts: this process "
+                        "handles chunk (host-id+1)/N and host 0 merges "
+                        "(faq/parallelize.md scale-out, no cluster manager "
+                        "needed — shared filesystem only)")
+    p.add_argument("--tpu-host-id", type=int, default=0,
+                   help="this host's rank in 0..N-1 (with --tpu-num-hosts)")
+    p.add_argument("--tpu-coordinator", type=str, default=None,
+                   help="host:port for jax.distributed (TPU pod slices); "
+                        "optional — coordination falls back to the shared "
+                        "filesystem")
+    p.add_argument("--tpu-stats-delta", type=str, default=None,
+                   help=argparse.SUPPRESS)  # internal: multihost child dump
+    p.add_argument("--tpu-profile-dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of the run "
+                        "into this directory (open with xprof/tensorboard)")
     p.add_argument("--version", action="version", version=__version__)
     return p
 
@@ -118,6 +134,7 @@ def config_from_args(args: argparse.Namespace) -> CcsConfig:
         subsample_clr_file=args.subsample_clr_file,
         log_level=args.log_level, log_file=args.log_file,
         stderr_json_log=args.stderr_json_log,
+        tpu_profile_dir=args.tpu_profile_dir,
         refresh_rate=args.refresh_rate,
         tpu_control_fasta=args.tpu_control_fasta,
         tpu_resume_dir=args.tpu_resume_dir,
@@ -229,6 +246,9 @@ def fail_record(res: ConsensusResult,
 
 def run(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.tpu_num_hosts > 1 and args.tpu_stats_delta is None:
+        from ccs_tpu.parallel.multihost import run_multihost
+        return run_multihost(args, list(argv or sys.argv[1:]), run)
     cfg = config_from_args(args)
     level = getattr(logging, cfg.log_level.upper(), logging.WARNING)
     log_kwargs = {"filename": cfg.log_file} if cfg.log_file \
@@ -396,10 +416,27 @@ def run(argv: Optional[list[str]] = None) -> int:
     if ckpt is not None and ckpt.resume_hole is not None:
         zmw_stream = (z for z in zmw_stream if not ckpt.should_skip(z.hole))
     from ccs_tpu.pipeline.orchestrator import run_pipeline
-    run_pipeline(engine, zmw_stream, emit,
-                 batch_size=cfg.batch_size, num_threads=cfg.num_threads,
-                 input_buffer=cfg.input_buffer)
+    profiling = False
+    if cfg.tpu_profile_dir:
+        import jax
+        try:
+            jax.profiler.start_trace(cfg.tpu_profile_dir)
+            profiling = True
+        except Exception as exc:  # noqa: BLE001 — profiling is best-effort
+            logger.warning("jax.profiler unavailable: %s", exc)
+    try:
+        run_pipeline(engine, zmw_stream, emit,
+                     batch_size=cfg.batch_size, num_threads=cfg.num_threads,
+                     input_buffer=cfg.input_buffer)
+    finally:
+        if profiling:
+            import jax
+            jax.profiler.stop_trace()
+            logger.info("device trace written to %s", cfg.tpu_profile_dir)
     reader.close()
+    logger.info(
+        "wall split: prepare %.1f thread-s, device %.1f s, finalize %.1f s",
+        engine.t_prepare, engine.t_device, engine.t_finalize)
 
     # --- outputs ---
     if ckpt is not None:
@@ -459,6 +496,10 @@ def run(argv: Optional[list[str]] = None) -> int:
     if cfg.hifi_summary_json:
         with open(cfg.hifi_summary_json, "w") as fh:
             json.dump(hifi_summary_dict(stats), fh, indent=2)
+    if args.tpu_stats_delta:
+        from ccs_tpu.pipeline.checkpoint import stats_delta_dict
+        with open(args.tpu_stats_delta, "w") as fh:
+            json.dump(stats_delta_dict(stats), fh)
     if ckpt is not None:
         ckpt.cleanup()  # run completed; temp batches are merged
     if level <= logging.INFO:

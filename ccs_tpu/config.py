@@ -92,6 +92,15 @@ class CcsConfig:
                                              # (fail-reads.md 0x2); falls back
                                              # to $SMRT_CHEMISTRY_BUNDLE_DIR/controls.fasta
     tpu_band_width: int = 128          # banded full-length alignment band
+    tpu_tail_bucket: int = 256         # in-jit tail compaction: finish the
+                                       # polish loop on this many gathered
+                                       # still-active windows once the rest
+                                       # of the bucket has converged
+    tpu_use_pw: bool = True            # condition the polisher on pulse
+                                       # widths when the input carries them
+                                       # (how-does-ccs-work.md:88-95)
+    tpu_profile_dir: Optional[str] = None  # write a jax.profiler trace of
+                                           # the run here (SURVEY §5 tracing)
 
     def resolve_mode_all(self) -> "CcsConfig":
         """--all implies --min-passes 0 --min-rq 0 --max-length 0 (mode-all.md:15-17)."""

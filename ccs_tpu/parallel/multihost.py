@@ -1,0 +1,254 @@
+"""Multi-host execution (P2/P5, SURVEY.md §2.2).
+
+The reference scales out with N independent processes over ``--chunk i/N``
+and offline merging (/root/reference/docs/faq/parallelize.md:7-29) — there
+is no runtime communication backend at all. The TPU-native equivalent keeps
+that shape: every host runs the same program on its own .pbi-derived chunk
+with its own local device mesh, writes its records to a per-host temp BAM,
+and host 0 performs the merge (records + summary-stat deltas) into the
+final outputs. ``jax.distributed`` is initialized when a coordinator is
+given (a TPU pod slice), which also enables a cross-host psum sanity
+reduce of the yield counters over DCN; without it, coordination is purely
+filesystem-based — the reference's own contract, and what keeps chunks
+independently restartable (SURVEY §5 failure row).
+
+Usage (one process per host, shared filesystem):
+
+    ccs_tpu in.bam out.bam --tpu-num-hosts 4 --tpu-host-id 2 \
+        [--tpu-coordinator host:port]
+
+Host i processes chunk i+1/N; host 0 waits for every host's sentinel and
+merges. The merged output is byte-identical (record-wise) to a single-host
+run because ZMWs stream in hole order within each chunk and chunks
+partition the hole space in order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("ccs_tpu")
+
+_SENTINEL = "{prefix}.host{i}of{n}.done"
+_HOST_BAM = "{prefix}.host{i}of{n}.bam"
+_HOST_STATS = "{prefix}.host{i}of{n}.stats.json"
+
+
+@dataclasses.dataclass
+class HostSpec:
+    n: int
+    i: int
+    coordinator: Optional[str] = None
+
+
+def init_distributed(spec: HostSpec) -> bool:
+    """Best-effort jax.distributed init (TPU pods / multi-process CPU).
+
+    Filesystem coordination below never depends on this; it only enables
+    the cross-host counter psum (P5 over DCN)."""
+    if not spec.coordinator:
+        return False
+    try:
+        import jax
+        jax.distributed.initialize(coordinator_address=spec.coordinator,
+                                   num_processes=spec.n,
+                                   process_id=spec.i)
+        logger.info("jax.distributed: process %d/%d via %s "
+                    "(%d global devices)", spec.i, spec.n, spec.coordinator,
+                    len(jax.devices()))
+        return True
+    except Exception as exc:  # noqa: BLE001 — degrade to file coordination
+        logger.warning("jax.distributed init failed (%s); running with "
+                       "filesystem coordination only", exc)
+        return False
+
+
+def allreduce_counters(counters: np.ndarray, distributed: bool) -> np.ndarray:
+    """Sum int64 counters across hosts via a psum over the global device
+    mesh (ICI within a slice, DCN across hosts). Identity when not
+    distributed — the file-based merge covers the stats then."""
+    if not distributed:
+        return counters
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.make_mesh((len(jax.devices()),), ("host",))
+
+    def reduce_fn(x):
+        return jax.lax.psum(x, "host")
+
+    fn = jax.jit(jax.shard_map(reduce_fn, mesh=mesh, in_specs=P(),
+                               out_specs=P(), check_vma=False))
+    # every process contributes its local counters once: divide the psum by
+    # local device count (each local device replicates the host's value)
+    local = jnp.asarray(counters, jnp.float64) / jax.local_device_count()
+    return np.asarray(fn(local)).astype(np.int64)
+
+
+def host_paths(prefix: str, spec: HostSpec, i: Optional[int] = None):
+    i = spec.i if i is None else i
+    fmt = dict(prefix=prefix, i=i, n=spec.n)
+    return (_HOST_BAM.format(**fmt), _HOST_STATS.format(**fmt),
+            _SENTINEL.format(**fmt))
+
+
+def run_multihost(args, argv: list[str], run_fn) -> int:
+    """Drive one host's share and (on host 0) the merge.
+
+    ``run_fn(child_argv)`` is ccs_tpu.cli.run — re-entered with the chunk,
+    per-host output, and a stats-delta dump so the merge can rebuild every
+    report exactly.
+    """
+    spec = HostSpec(n=args.tpu_num_hosts, i=args.tpu_host_id,
+                    coordinator=args.tpu_coordinator)
+    if not (0 <= spec.i < spec.n):
+        raise SystemExit(f"--tpu-host-id {spec.i} outside 0..{spec.n - 1}")
+    if args.chunk:
+        raise SystemExit("--chunk and --tpu-num-hosts are exclusive "
+                         "(hosts derive their own chunks)")
+    distributed = init_distributed(spec)
+
+    out = args.output
+    prefix = out
+    for suffix in (".bam", ".fastq.gz", ".fq.gz", ".consensusreadset.xml"):
+        if out.endswith(suffix):
+            prefix = out[:-len(suffix)]
+            break
+    bam_i, stats_i, sent_i = host_paths(prefix, spec)
+
+    child = [args.input, bam_i,
+             "--chunk", f"{spec.i + 1}/{spec.n}",
+             "--suppress-reports",
+             "--tpu-stats-delta", stats_i]
+    passthrough = iter(argv)
+    skip_next = False
+    for tok in passthrough:
+        if skip_next:
+            skip_next = False
+            continue
+        if tok in (args.input, args.output):
+            continue
+        if tok in ("--tpu-num-hosts", "--tpu-host-id", "--tpu-coordinator"):
+            skip_next = True
+            continue
+        child.append(tok)
+    rc = run_fn(child)
+    if rc != 0:
+        return rc
+    with open(sent_i, "w") as fh:
+        fh.write("done\n")
+
+    # P5: cross-host yield counters ride DCN when a pod is up (sanity
+    # mirror of the file-based stats merge)
+    if distributed:
+        with open(stats_i) as fh:
+            d = json.load(fh)
+        local = np.asarray([d["n_zmws"], d["total_bases"]], np.int64)
+        tot = allreduce_counters(local, distributed)
+        logger.info("cluster totals via psum: %d ZMWs, %d bases",
+                    int(tot[0]), int(tot[1]))
+
+    if spec.i != 0:
+        return 0
+    return _merge(args, prefix, spec)
+
+
+def _merge(args, prefix: str, spec: HostSpec,
+           timeout_s: float = 86_400.0) -> int:
+    """Host 0: wait for every host, then merge records + stats into the
+    final outputs (the pbmerge/samtools-merge role, parallelize.md:21-29)."""
+    from ccs_tpu import __version__
+    from ccs_tpu.io.bam import BamReader, BamWriter
+    from ccs_tpu.io.datasetxml import write_consensusreadset
+    from ccs_tpu.io.fastq import FastqWriter
+    from ccs_tpu.io.pbi import build_index_from_records, write_pbi
+    from ccs_tpu.pipeline.checkpoint import stats_from_delta
+    from ccs_tpu.report.metrics import write_zmw_metrics
+    from ccs_tpu.report.stats import (RunStats, format_ccs_report,
+                                      hifi_summary_dict, report_json_dict)
+
+    deadline = time.monotonic() + timeout_s
+    waiting = list(range(spec.n))
+    while waiting:
+        waiting = [i for i in waiting
+                   if not os.path.exists(host_paths(prefix, spec, i)[2])]
+        if not waiting:
+            break
+        if time.monotonic() > deadline:
+            raise SystemExit(f"multihost merge timed out waiting for hosts "
+                             f"{waiting}")
+        time.sleep(0.25)
+
+    out = args.output
+    want_xml = out.endswith(".consensusreadset.xml")
+    want_fastq = out.endswith((".fastq.gz", ".fq.gz"))
+    bam_path = out if out.endswith(".bam") else prefix + ".bam"
+
+    stats = RunStats()
+    header = None
+    records = []
+    for i in range(spec.n):
+        bam_i, stats_i, _ = host_paths(prefix, spec, i)
+        with open(stats_i) as fh:
+            stats.merge(stats_from_delta(json.load(fh)))
+        with BamReader(bam_i) as r:
+            if header is None:
+                header = r.header
+            records.extend(r)
+    writer = BamWriter(bam_path, header)
+    for rec in records:
+        writer.write_record(rec)
+    voffs = list(writer.voffsets)
+    writer.close()
+    write_pbi(bam_path + ".pbi", build_index_from_records(records, voffs))
+    # per-host fail_reads.bam files merge the same way
+    fail_parts = [f"{prefix}.host{i}of{spec.n}.fail_reads.bam"
+                  for i in range(spec.n)]
+    if any(os.path.exists(p) for p in fail_parts):
+        fw = BamWriter(f"{prefix}.fail_reads.bam", header)
+        for p in fail_parts:
+            if os.path.exists(p):
+                with BamReader(p) as r:
+                    for rec in r:
+                        fw.write_record(rec)
+        fw.close()
+    if want_fastq or args.fastq:
+        fq = FastqWriter(out if want_fastq else args.fastq)
+        for rec in records:
+            fq.write(rec.name, rec.seq, rec.qual)
+        fq.close()
+    if want_xml:
+        write_consensusreadset(out, bam_path, len(records),
+                               sum(len(r.seq) for r in records))
+
+    if not args.suppress_reports or args.report_file:
+        path = args.report_file or f"{prefix}.ccs_report.txt"
+        with open(path, "w") as fh:
+            fh.write(format_ccs_report(stats))
+    if args.report_json:
+        with open(args.report_json, "w") as fh:
+            json.dump(report_json_dict(stats), fh, indent=2)
+    if not args.suppress_reports or args.metrics_json:
+        path = args.metrics_json or f"{prefix}.zmw_metrics.json.gz"
+        write_zmw_metrics(path, stats)
+    if args.hifi_summary_json:
+        with open(args.hifi_summary_json, "w") as fh:
+            json.dump(hifi_summary_dict(stats), fh, indent=2)
+
+    for i in range(spec.n):
+        bam_i, stats_i, sent_i = host_paths(prefix, spec, i)
+        for p in (bam_i, bam_i + ".pbi", stats_i, sent_i,
+                  f"{prefix}.host{i}of{spec.n}.fail_reads.bam"):
+            if os.path.exists(p):
+                os.unlink(p)
+    logger.info("multihost merge: %d hosts -> %s (%d reads)", spec.n,
+                bam_path, len(records))
+    return 0
