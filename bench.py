@@ -36,7 +36,19 @@ WINDOW_CORE = 22
 E2E_ZMWS = 400
 E2E_INSERT = 2000
 E2E_PASSES = 10
+E2E15_ZMWS = 24          # BASELINE config 3: 15 kb library
+E2E15_INSERT = 15_000
 BASELINE_BASES_PER_S = 2_832_543 * 15_000 / (4 * 3600 + 49 * 60)  # ≈2.45e6
+
+# Static FLOP model of one fused score call (ops.hmm_score_pallas), counted
+# from the kernel body: per window, per subread lane, per [S]-element vector
+# op (1 flop/element). fwd+bwd columns ~39 vec-ops each over 2T+1 columns;
+# the mutation bridge ~613 vec-ops per template position (17 insertion-chain
+# solves + 26 emission contractions + y-builds + dots); prepends ~200.
+def score_call_flops(n_windows: int, c: int, t: int, r: int) -> float:
+    s = -(-(r + 1) // 8) * 8
+    per_window = c * s * ((2 * t + 1) * 39 + t * 613 + 200)
+    return float(n_windows) * per_window
 
 
 def polish_phase_bench(eng, params, log):
@@ -68,8 +80,8 @@ def polish_phase_bench(eng, params, log):
     priority = np.ones((W, T_CAP), np.float32)
 
     def call():
-        state, qv = eng._polish_step(tpl, tlen, cs, ce, snr_bin, reads,
-                                     rlens, is_first, priority)
+        state, qv, _stats = eng._polish_step(tpl, tlen, cs, ce, snr_bin,
+                                             reads, rlens, is_first, priority)
         np.asarray(state.tpl)  # real wait (block_until_ready is lazy on axon)
         return state
 
@@ -84,26 +96,71 @@ def polish_phase_bench(eng, params, log):
         times.append(time.time() - t0)
     dt = min(times)
     win_per_s = W / dt
+    # achieved FLOP/s: score calls = initial + per-iteration re-scores; with
+    # tail compaction the re-scores run at descending active counts, summed
+    # from the per-window iteration counts
+    n_iter = np.asarray(state.n_iter)
+    window_scores = float(W + n_iter.sum())  # initial + one re-score/iter
+    flops = score_call_flops(1, C, T_CAP, R_CAP) * window_scores
+    gflops = flops / dt / 1e9
+    # v5e VPU fp32 peak ~= 8*128 lanes * 4 ops * 940 MHz ~= 3.9 TFLOP/s.
+    # The vec-op count includes shifts/selects (not pure FMAs), so treat
+    # the percentage as an upper-bound utilization estimate: the scorer is
+    # VPU-throughput-bound (measured: halving W, C, or T moves runtime
+    # <25% — the fixed cost is dispatch + the per-call XLA glue, and the
+    # compute core tracks the vec-op count). Reaching the Revio 10x-node
+    # yardstick from here needs a sparser scorer (candidate-only bridging),
+    # not more utilization.
+    mfu_vpu = gflops / 3900.0
     log(f"polish steady: {dt*1000:.0f} ms / {W} windows x {C} lanes "
-        f"= {win_per_s:.0f} windows/s")
-    return win_per_s
+        f"= {win_per_s:.0f} windows/s; ~{gflops:.0f} GFLOP/s "
+        f"(~{100*mfu_vpu:.0f}% of est. VPU fp32 peak; MXU idle by design "
+        f"— the DP is elementwise)")
+    return win_per_s, gflops, mfu_vpu
+
+
+def _zin(z):
+    from ccs_tpu.pipeline.zmw import Subread, ZmwInput
+    subs, qpos = [], 0
+    for read, cx in zip(z.subreads, z.cx):
+        subs.append(Subread(seq=read, cx=cx, qs=qpos,
+                            qe=qpos + len(read)))
+        qpos += len(read) + 40
+    return ZmwInput(hole=z.hole, movie="m_bench", subreads=subs,
+                    snr=z.snr)
+
+
+def e2e_15kb_bench(eng, log):
+    """BASELINE config 3: 15 kb inserts (performance.md:13-15,27-31)."""
+    from ccs_tpu.pipeline.orchestrator import run_pipeline
+    from ccs_tpu.sim.simulator import simulate_zmw
+    t0 = time.time()
+    zmws = [_zin(simulate_zmw(hole=h, insert_len=E2E15_INSERT, n_passes=8,
+                              snr=9.0))
+            for h in range(E2E15_ZMWS)]
+    log(f"simulated {E2E15_ZMWS} x 15 kb ZMWs in {time.time()-t0:.0f}s")
+    out: list = []
+    run_pipeline(eng, iter(zmws[:4]), lambda r, n: out.extend(r),
+                 batch_size=4, num_threads=0, input_buffer=4)  # warmup
+    out = []
+    t0 = time.time()
+    run_pipeline(eng, iter(zmws), lambda r, n: out.extend(r),
+                 batch_size=8, num_threads=0, input_buffer=4)
+    dt = time.time() - t0
+    n_ok = sum(1 for r in out if r.status.name == "SUCCESS")
+    bases = sum(len(r.seq) for r in out if r.seq is not None)
+    log(f"e2e 15kb: {dt:.1f}s for {E2E15_ZMWS} ZMWs -> {n_ok} HiFi, "
+        f"{bases/1e6:.2f} Mbases = {E2E15_ZMWS/dt:.2f} 15kb-ZMW/s")
+    assert n_ok >= E2E15_ZMWS * 0.85, f"only {n_ok}/{E2E15_ZMWS} succeeded"
+    return E2E15_ZMWS / dt, bases / dt
 
 
 def e2e_bench(eng, log):
     """End-to-end ZMWs/s through the threaded orchestrator."""
     from ccs_tpu.pipeline.orchestrator import run_pipeline
-    from ccs_tpu.pipeline.zmw import Subread, ZmwInput
     from ccs_tpu.sim.simulator import simulate_zmw
 
-    def zin(z):
-        subs, qpos = [], 0
-        for read, cx in zip(z.subreads, z.cx):
-            subs.append(Subread(seq=read, cx=cx, qs=qpos,
-                                qe=qpos + len(read)))
-            qpos += len(read) + 40
-        return ZmwInput(hole=z.hole, movie="m_bench", subreads=subs,
-                        snr=z.snr)
-
+    zin = _zin
     t0 = time.time()
     zmws = [zin(simulate_zmw(hole=h, insert_len=E2E_INSERT,
                              n_passes=E2E_PASSES, snr=9.0))
@@ -117,6 +174,7 @@ def e2e_bench(eng, log):
                  batch_size=128, num_threads=0, input_buffer=4)
 
     out = []
+    eng.t_prepare = eng.t_device = eng.t_finalize = 0.0
     t0 = time.time()
     run_pipeline(eng, iter(zmws), lambda r, n: out.extend(r),
                  batch_size=128, num_threads=0, input_buffer=4)
@@ -126,8 +184,15 @@ def e2e_bench(eng, log):
     bases = sum(len(r.seq) for r in out if r.seq is not None)
     log(f"e2e steady: {dt:.1f}s for {E2E_ZMWS} ZMWs -> {n_ok} HiFi reads, "
         f"{bases/1e6:.2f} Mbases")
+    log(f"e2e wall split: prepare {eng.t_prepare:.1f} thread-s, "
+        f"device {eng.t_device:.1f}s ({100*eng.t_device/dt:.0f}% of wall), "
+        f"finalize {eng.t_finalize:.1f}s")
     assert n_ok >= E2E_ZMWS * 0.9, f"only {n_ok}/{E2E_ZMWS} succeeded"
-    return E2E_ZMWS / dt, bases / dt
+    return E2E_ZMWS / dt, bases / dt, {
+        "prepare_thread_s": round(eng.t_prepare, 1),
+        "device_s": round(eng.t_device, 1),
+        "finalize_s": round(eng.t_finalize, 1),
+        "device_busy_frac": round(eng.t_device / dt, 3)}
 
 
 def main() -> None:
@@ -143,8 +208,9 @@ def main() -> None:
     params = default_params()
     eng = CcsEngine(CcsConfig(), params)
 
-    win_per_s = polish_phase_bench(eng, params, log)
-    zmw_per_s, bases_per_s = e2e_bench(eng, log)
+    win_per_s, gflops, mfu_vpu = polish_phase_bench(eng, params, log)
+    zmw_per_s, bases_per_s, split = e2e_bench(eng, log)
+    zmw15_per_s, bases15_per_s = e2e_15kb_bench(eng, log)
 
     # headline: the chip component (Arrow polish), per-chip bases/s against
     # the reference's per-NODE bases/s — the same framing as the reference's
@@ -168,6 +234,12 @@ def main() -> None:
         "e2e_zmw_per_s_2kb": round(zmw_per_s, 2),
         "e2e_mbases_per_s": round(bases_per_s / 1e6, 3),
         "e2e_vs_baseline": round(bases_per_s / BASELINE_BASES_PER_S, 4),
+        "e2e_15kb_zmw_per_s": round(zmw15_per_s, 2),
+        "e2e_15kb_vs_baseline": round(bases15_per_s / BASELINE_BASES_PER_S,
+                                      4),
+        "kernel_gflops": round(gflops, 0),
+        "kernel_mfu_vpu_est": round(mfu_vpu, 3),
+        **split,
     }))
 
 

@@ -21,5 +21,5 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: first runs compile (~minutes on 2 CPUs),
 # subsequent test runs reuse the compiled executables.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
