@@ -31,7 +31,7 @@ import time
 
 import numpy as np
 
-W, C, T_CAP, R_CAP = 2048, 16, 48, 56
+W, C, T_CAP, R_CAP = 2048, 16, 40, 47
 WINDOW_CORE = 22
 E2E_ZMWS = 400
 E2E_INSERT = 2000
@@ -82,19 +82,22 @@ def polish_phase_bench(eng, params, log):
     def call():
         state, qv, _stats = eng._polish_step(tpl, tlen, cs, ce, snr_bin,
                                              reads, rlens, is_first, priority)
-        np.asarray(state.tpl)  # real wait (block_until_ready is lazy on axon)
         return state
 
     t0 = time.time()
     state = call()
+    np.asarray(state.tpl)  # real wait (block_until_ready is lazy on axon)
     log(f"polish warmup (compile + first exec): {time.time()-t0:.1f}s; "
         f"iters={int(np.asarray(state.n_iter).max())}")
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        call()
-        times.append(time.time() - t0)
-    dt = min(times)
+    # pipelined measurement: the engine dispatches chunks asynchronously
+    # (depth-3 deque in engine._polish_live), so steady-state throughput is
+    # back-to-back device execution — one materialize at the end, not a
+    # host round-trip per call (the axon tunnel costs ~27 ms per such trip)
+    n_rep = 6
+    t0 = time.time()
+    states = [call() for _ in range(n_rep)]
+    np.asarray(states[-1].tpl)
+    dt = (time.time() - t0) / n_rep
     win_per_s = W / dt
     # achieved FLOP/s: score calls = initial + per-iteration re-scores; with
     # tail compaction the re-scores run at descending active counts, summed

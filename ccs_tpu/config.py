@@ -71,10 +71,15 @@ class CcsConfig:
     heteroduplex_min_len: int = 21  # strand diff > 20 bp fails the ZMW
 
     # --- TPU-only knobs (namespaced; SURVEY.md §5 config row) ---
-    # template buffer per window: core (<= size + repeat shift 8) + 2*overlap
-    # margins + growth slack for insertion mutations during polish
-    tpu_window_tpl_cap: int = 48
-    tpu_window_read_cap: int = 56      # padded read-slice length per window
+    # template buffer per window: core (<= size + repeat shift 6) + 2*overlap
+    # margins + growth slack for insertion mutations during polish. Kernel
+    # time is linear in BOTH caps (every vector op in the fused scorer is
+    # [read_cap-ish, 128] and the bridge loops template positions), so these
+    # are sized to the actual maxima: core <= 22+6, ext <= +8 -> 36 template
+    # positions (slack 4..14), slices <= ext+8 burst slack = 44 < 47
+    tpu_window_tpl_cap: int = 40
+    tpu_window_read_cap: int = 47      # padded read-slice length per window
+                                       # (47 -> sublane dim 48 in the kernel)
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
     tpu_polish_k: int = 12             # candidate positions scored per polish
                                        # iteration (legacy dense-loop knob)

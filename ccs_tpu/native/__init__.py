@@ -114,6 +114,23 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64,    # k, band
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # sub/open/ext
             ]
+            fo = _LIB.ccs_orient_chain_batch
+            fo.restype = ctypes.c_int64
+            fo.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads, offs, n
+                ctypes.c_int64,                    # k
+                ctypes.c_void_p,                   # out_strand
+                ctypes.c_void_p, ctypes.c_void_p,  # out_chain, out_nchain
+            ]
+            fb = _LIB.ccs_chain_batch
+            fb.restype = ctypes.c_int64
+            fb.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # tpl, T
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # reads, offs, n
+                ctypes.c_int64,                    # k
+                ctypes.c_void_p, ctypes.c_void_p,  # out_chain, out_nchain
+            ]
         except AttributeError:  # stale cached .so without the new symbols
             pass
     return _LIB

@@ -326,32 +326,39 @@ int64_t affine_core(const int8_t* read, int64_t R,
 // template k-mers matched against the read, then patience LIS on tpos).
 // --------------------------------------------------------------------------
 
-void anchor_chain_core(const int8_t* read, int64_t R,
-                       const int8_t* tpl, int64_t T, int64_t k,
-                       std::vector<std::pair<int64_t, int64_t>>* chain) {
-    chain->clear();
-    const int64_t nt = T - k + 1, nr = R - k + 1;
-    if (nt <= 0 || nr <= 0) return;
-    // template k-mer codes -> position, or -2 for duplicates; PAD poisons
-    std::unordered_map<uint64_t, int64_t> pos;
-    pos.reserve(size_t(nt) * 2);
-    {
-        uint64_t code = 0;
-        const uint64_t mask = (k >= 32) ? ~uint64_t(0)
-                                        : ((uint64_t(1) << (2 * k)) - 1);
-        int64_t bad = 0;  // count of PAD bases in the current window
-        for (int64_t i = 0; i < T; ++i) {
-            const int8_t b = tpl[i];
-            code = ((code << 2) | uint64_t(b < 0 ? 0 : (b & 3))) & mask;
-            if (b < 0) bad = k;       // poisons the next k windows
-            else if (bad > 0) --bad;
-            if (i >= k - 1 && bad == 0) {
-                auto it = pos.find(code);
-                if (it == pos.end()) pos.emplace(code, i - k + 1);
-                else it->second = -2;
-            }
+// Unique-k-mer index of a template: code -> position, -2 for duplicates.
+// PAD bases poison their k windows. Built once, shared across the reads of
+// a ZMW (the per-call rebuild dominated the round-3 anchor profile).
+void build_kmer_index(const int8_t* tpl, int64_t T, int64_t k,
+                      std::unordered_map<uint64_t, int64_t>* pos) {
+    pos->clear();
+    const int64_t nt = T - k + 1;
+    if (nt <= 0) return;
+    pos->reserve(size_t(nt) * 2);
+    uint64_t code = 0;
+    const uint64_t mask = (k >= 32) ? ~uint64_t(0)
+                                    : ((uint64_t(1) << (2 * k)) - 1);
+    int64_t bad = 0;  // count of PAD bases in the current window
+    for (int64_t i = 0; i < T; ++i) {
+        const int8_t b = tpl[i];
+        code = ((code << 2) | uint64_t(b < 0 ? 0 : (b & 3))) & mask;
+        if (b < 0) bad = k;       // poisons the next k windows
+        else if (bad > 0) --bad;
+        if (i >= k - 1 && bad == 0) {
+            auto it = pos->find(code);
+            if (it == pos->end()) pos->emplace(code, i - k + 1);
+            else it->second = -2;
         }
     }
+}
+
+void chain_with_index(const int8_t* read, int64_t R,
+                      const std::unordered_map<uint64_t, int64_t>& pos,
+                      int64_t k,
+                      std::vector<std::pair<int64_t, int64_t>>* chain) {
+    chain->clear();
+    const int64_t nr = R - k + 1;
+    if (nr <= 0 || pos.empty()) return;
     // read k-mers hitting unique template k-mers, in rpos order
     std::vector<int64_t> rpos, tpos;
     {
@@ -394,6 +401,14 @@ void anchor_chain_core(const int8_t* read, int64_t R,
     for (int64_t a = tails_idx.back(); a >= 0; a = parent[a])
         chain->emplace_back(rpos[a], tpos[a]);
     std::reverse(chain->begin(), chain->end());
+}
+
+void anchor_chain_core(const int8_t* read, int64_t R,
+                       const int8_t* tpl, int64_t T, int64_t k,
+                       std::vector<std::pair<int64_t, int64_t>>* chain) {
+    std::unordered_map<uint64_t, int64_t> pos;
+    build_kmer_index(tpl, T, k, &pos);
+    chain_with_index(read, R, pos, k, chain);
 }
 
 // Band centers for each read row, interpolated from the anchor chain —
@@ -679,6 +694,73 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
 // Anchor-guided affine alignment identity (the draft-acceptance check for
 // reads beyond the vote set). Returns n_match/ops_len, or -1.0 if the read
 // does not align within any band.
+// Batched orientation + anchor chaining for one ZMW: the template k-mer
+// index is built ONCE and shared by every read (per-call index rebuilds
+// dominated the host anchor profile). For each read, chain both
+// orientations; the longer chain wins (fwd on ties — same rule as
+// ops.align.infer_orientation). out_strand[r] in {0 fwd, 1 rev};
+// out_chain rows (rpos, tpos) are in the WINNING orientation's read
+// coordinates, packed back-to-back per read at offs[r]*2 with per-read
+// capacity R_r rows; out_nchain[r] = rows written.
+int64_t ccs_orient_chain_batch(const int8_t* tpl, int64_t T,
+                               const int8_t* reads_flat, const int64_t* offs,
+                               int64_t n_reads, int64_t k,
+                               uint8_t* out_strand,
+                               int64_t* out_chain, int64_t* out_nchain) {
+    std::unordered_map<uint64_t, int64_t> pos;
+    build_kmer_index(tpl, T, k, &pos);
+    std::vector<std::pair<int64_t, int64_t>> cf, cr;
+    std::vector<int8_t> rc;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int8_t* read = reads_flat + offs[r];
+        const int64_t R = offs[r + 1] - offs[r];
+        chain_with_index(read, R, pos, k, &cf);
+        rc.resize(size_t(R));
+        for (int64_t i = 0; i < R; ++i) {
+            const int8_t b = read[R - 1 - i];
+            rc[i] = b < 0 ? b : int8_t(3 - b);
+        }
+        chain_with_index(rc.data(), R, pos, k, &cr);
+        const bool rev = int64_t(cr.size()) > int64_t(cf.size());
+        out_strand[r] = rev ? 1 : 0;
+        const auto& chain = rev ? cr : cf;
+        int64_t* out = out_chain + offs[r] * 2;
+        const int64_t n = int64_t(chain.size()) < R ? int64_t(chain.size())
+                                                    : R;
+        for (int64_t a = 0; a < n; ++a) {
+            out[2 * a] = chain[a].first;
+            out[2 * a + 1] = chain[a].second;
+        }
+        out_nchain[r] = n;
+    }
+    return n_reads;
+}
+
+// Batched chaining of already-oriented reads against one template (the
+// stage-3 subread->draft mapping); same packing as ccs_orient_chain_batch.
+int64_t ccs_chain_batch(const int8_t* tpl, int64_t T,
+                        const int8_t* reads_flat, const int64_t* offs,
+                        int64_t n_reads, int64_t k,
+                        int64_t* out_chain, int64_t* out_nchain) {
+    std::unordered_map<uint64_t, int64_t> pos;
+    build_kmer_index(tpl, T, k, &pos);
+    std::vector<std::pair<int64_t, int64_t>> chain;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int8_t* read = reads_flat + offs[r];
+        const int64_t R = offs[r + 1] - offs[r];
+        chain_with_index(read, R, pos, k, &chain);
+        int64_t* out = out_chain + offs[r] * 2;
+        const int64_t n = int64_t(chain.size()) < R ? int64_t(chain.size())
+                                                    : R;
+        for (int64_t a = 0; a < n; ++a) {
+            out[2 * a] = chain[a].first;
+            out[2 * a + 1] = chain[a].second;
+        }
+        out_nchain[r] = n;
+    }
+    return n_reads;
+}
+
 double ccs_guided_identity(const int8_t* read, int64_t R,
                            const int8_t* tpl, int64_t T,
                            int64_t k, int64_t band,

@@ -521,6 +521,81 @@ def anchor_chain(read: np.ndarray, tpl: np.ndarray, k: int = 13
     return np.asarray(chain, dtype=np.int64)
 
 
+def _flatten_reads(reads: list[np.ndarray]):
+    import ctypes
+    offs = np.zeros(len(reads) + 1, dtype=np.int64)
+    for i, r in enumerate(reads):
+        offs[i + 1] = offs[i] + len(r)
+    flat = np.empty(int(offs[-1]), dtype=np.int8)
+    for i, r in enumerate(reads):
+        flat[offs[i]:offs[i + 1]] = r
+    return flat, offs, ctypes
+
+
+def _unpack_chains(offs, out_chain, out_n):
+    chains = []
+    for i in range(len(out_n)):
+        n = int(out_n[i])
+        chains.append(out_chain[int(offs[i]):int(offs[i]) + n].copy())
+    return chains
+
+
+def orient_chain_batch(reads: list[np.ndarray], tpl: np.ndarray,
+                       k: int = 13) -> tuple[list[int], list[np.ndarray]]:
+    """Orientation + anchor chain for every read of one ZMW against one
+    template, with the template k-mer index built once (native); returns
+    (strands, chains) where chains[i] is in the winning orientation's read
+    coordinates. NumPy fallback composes anchor_chain per read."""
+    from ccs_tpu import native
+    lib = native.load()
+    tpl_c = np.ascontiguousarray(tpl, dtype=np.int8)
+    if lib is not None and hasattr(lib, "ccs_orient_chain_batch") and \
+            len(reads):
+        flat, offs, ctypes = _flatten_reads(reads)
+        out_strand = np.zeros(len(reads), dtype=np.uint8)
+        out_chain = np.empty((int(offs[-1]), 2), dtype=np.int64)
+        out_n = np.zeros(len(reads), dtype=np.int64)
+        lib.ccs_orient_chain_batch(
+            tpl_c.ctypes.data_as(ctypes.c_void_p), len(tpl_c),
+            flat.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p), len(reads), k,
+            out_strand.ctypes.data_as(ctypes.c_void_p),
+            out_chain.ctypes.data_as(ctypes.c_void_p),
+            out_n.ctypes.data_as(ctypes.c_void_p))
+        return [int(s) for s in out_strand], _unpack_chains(offs, out_chain,
+                                                            out_n)
+    from ccs_tpu.ops import dna
+    strands, chains = [], []
+    for read in reads:
+        cf = anchor_chain(read, tpl_c, k)
+        cr = anchor_chain(dna.revcomp(read), tpl_c, k)
+        rev = len(cr) > len(cf)
+        strands.append(1 if rev else 0)
+        chains.append(cr if rev else cf)
+    return strands, chains
+
+
+def chain_batch(reads: list[np.ndarray], tpl: np.ndarray,
+                k: int = 13) -> list[np.ndarray]:
+    """Anchor chains for already-oriented reads against one template with a
+    shared k-mer index (native); NumPy fallback is per-read anchor_chain."""
+    from ccs_tpu import native
+    lib = native.load()
+    tpl_c = np.ascontiguousarray(tpl, dtype=np.int8)
+    if lib is not None and hasattr(lib, "ccs_chain_batch") and len(reads):
+        flat, offs, ctypes = _flatten_reads(reads)
+        out_chain = np.empty((int(offs[-1]), 2), dtype=np.int64)
+        out_n = np.zeros(len(reads), dtype=np.int64)
+        lib.ccs_chain_batch(
+            tpl_c.ctypes.data_as(ctypes.c_void_p), len(tpl_c),
+            flat.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p), len(reads), k,
+            out_chain.ctypes.data_as(ctypes.c_void_p),
+            out_n.ctypes.data_as(ctypes.c_void_p))
+        return _unpack_chains(offs, out_chain, out_n)
+    return [anchor_chain(r, tpl_c, k) for r in reads]
+
+
 def guided_align(read: np.ndarray, tpl: np.ndarray, band: int = 48,
                  k: int = 13, sub_cost: int = 1, gap_cost: int = 1,
                  gap_open: int = 0) -> Optional[Alignment]:

@@ -180,7 +180,7 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
         rc = reads_ref[c]                              # [R, LB] i32 codes
         rl_c = rl_ref[pl.ds(c, 1)]                     # [1, LB]
         live = (rl_c >= 0).astype(jnp.float32)
-        zpad = jnp.zeros((S - R - 1, LB), jnp.float32)
+        zpad = jnp.zeros((S - R - 1, LB), jnp.float32) if S - R - 1 else None
         ok = (rc >= 0)
         code = jnp.clip(rc, 0, 15)
         base = code % 4
@@ -191,12 +191,16 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
             wk = (w == k).astype(jnp.float32)
             fm = fm + wk * PWM_ref[k:k + 1]
             fi = fi + wk * PWI_ref[k:k + 1]
+        def cat(*parts):
+            return jnp.concatenate([p for p in parts if p is not None],
+                                   axis=0)
+
         for x in range(4):
             hx = ((base == x) & ok).astype(jnp.float32)
-            ohdm_ref[x] = jnp.concatenate([z1, hx * fm, zpad], axis=0)
-            ohdi_ref[x] = jnp.concatenate([z1, hx * fi, zpad], axis=0)
-            ohum_ref[x] = jnp.concatenate([hx * fm, zpad, z1], axis=0)
-            ohui_ref[x] = jnp.concatenate([hx * fi, zpad, z1], axis=0)
+            ohdm_ref[x] = cat(z1, hx * fm, zpad)
+            ohdi_ref[x] = cat(z1, hx * fi, zpad)
+            ohum_ref[x] = cat(hx * fm, zpad, z1)
+            ohui_ref[x] = cat(hx * fi, zpad, z1)
 
         # ---- forward columns ----
         fcols_ref[0] = e0

@@ -34,22 +34,21 @@ def dust_score_profile(seq: np.ndarray, window: int = DUST_WINDOW) -> np.ndarray
     if n == 0:
         return np.zeros(0, dtype=np.float64)
     w = min(window - 2, n)  # triplets per window
-    counts = np.zeros(64, dtype=np.int64)
-    scores = np.empty(n - w + 1, dtype=np.float64)
-    # incremental sliding-window score: adding a triplet with count c adds c
-    score = 0
-    for i in range(w):
-        score += counts[trip[i]]
-        counts[trip[i]] += 1
-    scores[0] = score
-    for i in range(1, n - w + 1):
-        out = trip[i - 1]
-        counts[out] -= 1
-        score -= counts[out]
-        inc = trip[i + w - 1]
-        score += counts[inc]
-        counts[inc] += 1
-        scores[i] = score
+    # score[s] = # equal-triplet pairs (i, j), s <= i < j <= s+w-1. Each
+    # pair at lag d = j-i < w contributes to window starts
+    # s in [j-w+1, i] ∩ [0, n-w]; painted via a difference array, one
+    # vectorized pass per lag (replaces the per-position Python loop).
+    delta = np.zeros(n - w + 2, dtype=np.int64)
+    for d in range(1, w):
+        i = np.nonzero(trip[d:] == trip[:-d])[0]
+        if len(i) == 0:
+            continue
+        lo = np.maximum(i + d - w + 1, 0)
+        hi = np.minimum(i, n - w)
+        keep = lo <= hi
+        np.add.at(delta, lo[keep], 1)
+        np.add.at(delta, hi[keep] + 1, -1)
+    scores = np.cumsum(delta[:-1]).astype(np.float64)
     return scores / max(w - 1, 1)
 
 
@@ -61,16 +60,9 @@ def low_complexity_intervals(seq: np.ndarray, window: int = DUST_WINDOW,
         return []
     w = min(window, len(seq))
     hot = scores > threshold
-    intervals: list[tuple[int, int]] = []
-    start = None
-    for i, h in enumerate(hot):
-        if h and start is None:
-            start = i
-        elif not h and start is not None:
-            intervals.append((start, i - 1 + w))
-            start = None
-    if start is not None:
-        intervals.append((start, len(hot) - 1 + w))
+    starts = np.nonzero(hot & ~np.concatenate([[False], hot[:-1]]))[0]
+    ends = np.nonzero(hot & ~np.concatenate([hot[1:], [False]]))[0]
+    intervals = [(int(a), int(b) + w) for a, b in zip(starts, ends)]
     # merge overlapping
     merged: list[tuple[int, int]] = []
     for a, b in intervals:

@@ -171,31 +171,41 @@ def _try_backbone(subreads, full_length, backbone_i: int,
     mapping gate."""
     n = len(subreads)
     backbone = subreads[backbone_i]
-    strands = []
-    oriented = []
-    for i in range(n):
-        if i == backbone_i:
-            strands.append(0)
-            oriented.append(subreads[i])
-            continue
-        s, _ = infer_orientation(subreads[i], backbone)
-        strands.append(s)
-        oriented.append(dna.revcomp(subreads[i]) if s else subreads[i])
+    # batched orientation: one shared backbone k-mer index for all reads
+    # (ops.align.orient_chain_batch; same fwd-wins-ties rule as
+    # infer_orientation)
+    from ccs_tpu.ops.align import orient_chain_batch
+    others = [i for i in range(n) if i != backbone_i]
+    ostr, _chains = orient_chain_batch([subreads[i] for i in others],
+                                       backbone)
+    strands = [0] * n
+    oriented = list(subreads)
+    for i, s in zip(others, ostr):
+        strands[i] = s
+        if s:
+            oriented[i] = dna.revcomp(subreads[i])
 
-    # draft votes from up to max_draft_coverage subreads (backbone included)
+    # draft votes from up to max_draft_coverage subreads (backbone included).
+    # Early cascade rounds ("very fast and unstable",
+    # accuracy-vs-passes.md:41-46) vote from a small subset — their only job
+    # is a cleaner template for the final round's alignments, and ~8 reads
+    # already put draft accuracy in the high-90s; the FINAL round votes (and
+    # maps) with the full set.
     vote_idx = list(range(n))[:max_draft_coverage]
     tpl = backbone
     mapped_last = [True] * n
     idents = np.zeros(n)
     weak = 1.0
-    for _ in range(rounds):
+    for r in range(rounds):
+        ridx = vote_idx if r == rounds - 1 else vote_idx[:8]
         draft, mapped, idents_v, weak = _pileup_consensus(
-            tpl, [oriented[i] for i in vote_idx], min_identity=min_identity)
+            tpl, [oriented[i] for i in ridx], min_identity=min_identity)
         if draft is None or len(draft) == 0:
             return DraftResult(None, strands, [False] * n, 0), 0.0, 1.0
         tpl = draft
-        mapped_last = mapped
-        idents[:len(idents_v)] = idents_v
+        if r == rounds - 1:
+            mapped_last = mapped
+            idents[:len(idents_v)] = idents_v
     # final mapped flags for ALL subreads vs the final draft
     mapped_all = []
     for i in range(n):
@@ -249,6 +259,13 @@ def generate_draft(subreads: list[np.ndarray],
         if i not in candidates:
             candidates.append(i)
 
+    # Cascade stages ("fast and unstable -> slow and robust",
+    # accuracy-vs-passes.md:41-46): round 1 votes from a small subset
+    # against the backbone, the final round votes and maps the full set
+    # against the round-1 draft (_try_backbone). A single-round draft was
+    # measured ~15% relatively worse (41 vs 35 err/kb at SNR 9 x 10 passes)
+    # — below the documented C2 accuracy band (how-does-ccs-work.md:46-47),
+    # so two rounds stay the floor.
     best: Optional[DraftResult] = None
     best_key = (-1, 0.0)
     for backbone_i in candidates:

@@ -363,24 +363,27 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
     score0, body = make_body(snr_bin, reads, rlens, is_first)
     lls0, ll0 = score0(tpl, tlen)
     has_cov = (rlens >= 0).any(-1)
+    # a row enters the loop only if the initial scores contain an improving
+    # mutation it would actually select — rows already at a local optimum
+    # (the common case at production error rates) pay exactly ONE score call
+    sel0, _pk0, pre0, _pb0, _ = select_mutations(lls0, ll0, priority, T,
+                                                 thresh=thresh)
     state = FusedPolishState(
         tpl=tpl, tlen=tlen, core_start=core_start.astype(jnp.int32),
         core_end=core_end.astype(jnp.int32), ll=ll0, lls=lls0,
-        active=has_cov, n_iter=jnp.zeros(B, jnp.int32), priority=priority)
+        active=has_cov & (sel0.any(-1) | pre0),
+        n_iter=jnp.zeros(B, jnp.int32), priority=priority)
 
-    def cond(s):
-        return s.active.any() & (s.n_iter.max() < max_iters)
+    def cond_to(n_left):
+        def cond(s):
+            n_act = jnp.sum(s.active)
+            it = jnp.max(jnp.where(s.active, s.n_iter, 0))
+            return (n_act > n_left) & (it < max_iters)
+        return cond
 
-    if not tail_bucket or tail_bucket >= B:
-        state = jax.lax.while_loop(cond, body, state)
-    else:
-        K = tail_bucket
-
-        def cond_full(s):
-            return (jnp.sum(s.active) > K) & (s.n_iter.max() < max_iters)
-
-        state = jax.lax.while_loop(cond_full, body, state)
-        # gather the <= K still-active rows; fill rows index B -> dropped
+    def run_compacted(state, K: int, nxt: int):
+        """Gather the <= K still-active rows into a [K] sub-batch, loop it
+        until <= nxt remain active, scatter back. Row index B = dropped."""
         idx = jnp.nonzero(state.active, size=K, fill_value=B)[0]
         idc = jnp.minimum(idx, B - 1)
         ok = idx < B
@@ -397,16 +400,16 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
             tpl=g(state.tpl), tlen=g(state.tlen, 1),
             core_start=g(state.core_start), core_end=g(state.core_end),
             ll=g(state.ll), lls=g(state.lls),
-            active=g(state.active, False), n_iter=g(state.n_iter),
+            active=g(state.active, False), n_iter=g(state.n_iter, 0),
             priority=g(state.priority))
         _, body_k = make_body(g(snr_bin), g(reads),
                               g(rlens, -1), g(is_first, False))
-        sub = jax.lax.while_loop(cond, body_k, sub)
+        sub = jax.lax.while_loop(cond_to(nxt), body_k, sub)
 
         def sc(full, part):
             return full.at[idx].set(part, mode="drop")
 
-        state = FusedPolishState(
+        return FusedPolishState(
             tpl=sc(state.tpl, sub.tpl), tlen=sc(state.tlen, sub.tlen),
             core_start=sc(state.core_start, sub.core_start),
             core_end=sc(state.core_end, sub.core_end),
@@ -414,6 +417,20 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
             active=sc(state.active, sub.active),
             n_iter=sc(state.n_iter, sub.n_iter),
             priority=sc(state.priority, sub.priority))
+
+    if not tail_bucket or tail_bucket >= B:
+        state = jax.lax.while_loop(cond_to(0), body, state)
+    else:
+        # compaction cascade: each level gathers the survivors into a
+        # smaller sub-batch as soon as they fit, so re-score cost tracks the
+        # ACTIVE count instead of the full batch riding the while_loop in
+        # lock-step (the batch-level analog of faq/performance.md:90-93)
+        levels = sorted({k for k in (B // 2, B // 8, tail_bucket)
+                         if tail_bucket <= k < B}, reverse=True)
+        state = jax.lax.while_loop(cond_to(levels[0]), body, state)
+        for li, K in enumerate(levels):
+            nxt = levels[li + 1] if li + 1 < len(levels) else 0
+            state = run_compacted(state, K, nxt)
     qv, p_err = _qv_from_lls(state.lls, state.ll, state.tpl, state.tlen)
     return state, qv, p_err
 

@@ -22,22 +22,23 @@ def repeat_runs(seq: np.ndarray, max_period: int = 4) -> np.ndarray:
     (≥2 consecutive periods of period ≤ max_period)."""
     seq = np.asarray(seq)
     T = len(seq)
-    mask = np.zeros(T, dtype=bool)
+    delta = np.zeros(T + 1, dtype=np.int64)
     for p in range(1, max_period + 1):
         if T < 2 * p:
             continue
         eq = seq[p:] == seq[:-p]  # eq[i]: seq[i+p] == seq[i]
-        # run of k consecutive eq's starting at i means seq[i:i+p+k] periodic
-        run = np.zeros(T - p, dtype=np.int64)
-        acc = 0
-        for i in range(T - p):
-            acc = acc + 1 if eq[i] else 0
-            run[i] = acc
-        # positions covered by a run with >= p matches (two full periods)
-        for i in np.nonzero(run >= p)[0]:
-            k = run[i]
-            mask[i + p - k:i + p + 1] = True
-    return mask
+        # run[i] = # consecutive eq's ending at i; a maximal eq-run [a..b]
+        # with length >= p covers template span [a+p-1 .. b+p]; the hit
+        # stretch (run >= p) is [a+p-1 .. b], so each maximal hit stretch
+        # [s..e] paints [s .. e+p]. Painted via a difference array.
+        idx = np.arange(T - p)
+        run = idx - np.maximum.accumulate(np.where(~eq, idx, -1))
+        hit = run >= p
+        starts = np.nonzero(hit & ~np.concatenate([[False], hit[:-1]]))[0]
+        ends = np.nonzero(hit & ~np.concatenate([hit[1:], [False]]))[0]
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, np.minimum(ends + p + 1, T), -1)
+    return np.cumsum(delta[:-1]) > 0
 
 
 @dataclasses.dataclass
@@ -49,7 +50,7 @@ class Window:
 
 
 def cut_windows(draft: np.ndarray, size: int = 22, overlap: int = 2,
-                max_shift: int = 8) -> list[Window]:
+                max_shift: int = 6) -> list[Window]:
     """Cut repeat-aware windows over the draft."""
     T = len(draft)
     if T == 0:
@@ -156,7 +157,7 @@ def build_window_batch(draft: np.ndarray,
                        rpos_list: list[np.ndarray],
                        reads: list[np.ndarray],
                        full_length: list[bool],
-                       t_cap: int = 48, r_cap: int = 56, c_cap: int = 32,
+                       t_cap: int = 40, r_cap: int = 47, c_cap: int = 32,
                        size: int = 22, overlap: int = 4,
                        max_insertion_size: int = 30) -> WindowBatch:
     """Slice every mapped subread into every window.
@@ -172,58 +173,79 @@ def build_window_batch(draft: np.ndarray,
     W = len(wins)
     S = len(reads)
     C = min(S, c_cap)
-    tpl = np.full((W, t_cap), -1, dtype=np.int8)
-    tlen = np.zeros(W, dtype=np.int32)
-    core_start = np.zeros(W, dtype=np.int32)
-    core_end = np.zeros(W, dtype=np.int32)
+    ext_a = np.asarray([w.ext_a for w in wins], dtype=np.int64)
+    ext_b = np.asarray([w.ext_b for w in wins], dtype=np.int64)
+    win_len = ext_b - ext_a
+    L = np.minimum(win_len, t_cap)
+
+    # template / priority / core bookkeeping: one [W, t_cap] gather each
+    j = np.arange(t_cap)
+    gidx = ext_a[:, None] + j[None, :]
+    valid_t = j[None, :] < L[:, None]
+    gclip = np.minimum(gidx, max(len(draft) - 1, 0))
+    tpl = np.where(valid_t, draft[gclip], -1).astype(np.int8)
+    pri_draft = candidate_priority(draft, rpos_list, reads)
+    priority = np.where(valid_t, pri_draft[gclip], 0.0).astype(np.float32)
+    tlen = L.astype(np.int32)
+    core_start = (np.asarray([w.core_a for w in wins]) - ext_a).astype(
+        np.int32)
+    core_end = np.minimum(
+        np.asarray([w.core_b for w in wins]) - ext_a, L).astype(np.int32)
+
     out_reads = np.full((W, C, r_cap), -1, dtype=np.int8)
     rlens = np.full((W, C), -1, dtype=np.int32)
     fl = np.zeros((W, C), dtype=bool)
-    coverage = np.zeros(W, dtype=np.int32)
-    pri_draft = candidate_priority(draft, rpos_list, reads)
-    priority = np.zeros((W, t_cap), dtype=np.float32)
-
-    for w, win in enumerate(wins):
-        text = draft[win.ext_a:win.ext_b]
-        L = min(len(text), t_cap)
-        tpl[w, :L] = text[:L]
-        tlen[w] = L
-        priority[w, :L] = pri_draft[win.ext_a:win.ext_a + L]
-        core_start[w] = win.core_a - win.ext_a
-        core_end[w] = min(win.core_b - win.ext_a, L)
-        lane = 0
-        for s in range(S):
-            if lane >= C:
-                break
-            rpos = rpos_list[s]
-            if rpos is None:
-                continue
-            lo, hi = int(rpos[win.ext_a]), int(rpos[win.ext_b])
-            if hi <= lo:
-                continue  # subread does not span this window
-            win_len = win.ext_b - win.ext_a
-            if hi - lo > win_len + max_insertion_size:
-                # large-insertion trim (C6, how-does-ccs-work.md:74-78):
-                # excise the oversized insertion burst instead of dropping
-                # the whole lane (the rest of the pass is good evidence).
-                # The burst sits at the largest read-coordinate jump of the
-                # window span; cut the excess out around it, keeping
-                # win_len + a small slack of bases.
-                steps = np.diff(np.asarray(
-                    rpos[win.ext_a:win.ext_b + 1], dtype=np.int64))
-                j_burst = int(np.argmax(steps))
-                cut = int(rpos[win.ext_a + j_burst]) + 1
-                keep = win_len + 8
-                excess = (hi - lo) - keep
-                left = reads[s][lo:min(cut, lo + keep)]
-                right = reads[s][max(cut + excess, cut):hi]
-                piece = np.concatenate([left, right])[:r_cap]
-            else:
-                piece = reads[s][lo:hi][:r_cap]
+    lane_count = np.zeros(W, dtype=np.int64)
+    flat = out_reads.reshape(-1)
+    # trim threshold also honors the device read cap: a slice that would
+    # silently truncate at r_cap instead gets its insertion burst excised,
+    # keeping the window-end evidence intact
+    keep_cap = np.minimum(win_len + 8, r_cap)
+    trim_thresh = np.minimum(win_len + max_insertion_size, r_cap)
+    for s in range(S):
+        rpos = rpos_list[s]
+        if rpos is None:
+            continue
+        los = np.asarray(rpos, dtype=np.int64)[ext_a]
+        his = np.asarray(rpos, dtype=np.int64)[ext_b]
+        spans = his - los
+        valid = (spans > 0) & (lane_count < C)
+        lanes = lane_count
+        trim = valid & (spans > trim_thresh)
+        easy = valid & ~trim
+        wi = np.nonzero(easy)[0]
+        if len(wi):
+            # ragged window-slice copy as one flat scatter
+            lens = np.minimum(spans[wi], r_cap)
+            rep = np.repeat(np.arange(len(wi)), lens)
+            off = np.arange(int(lens.sum())) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            src = los[wi][rep] + off
+            dest = ((wi * C + lanes[wi]) * r_cap)[rep] + off
+            flat[dest] = reads[s][src]
+            rlens[wi, lanes[wi]] = lens
+            fl[wi, lanes[wi]] = full_length[s]
+        for w in np.nonzero(trim)[0]:
+            # large-insertion trim (C6, how-does-ccs-work.md:74-78): excise
+            # the oversized insertion burst instead of dropping the whole
+            # lane (the rest of the pass is good evidence). The burst sits
+            # at the largest read-coordinate jump of the window span; cut
+            # the excess out around it, keeping win_len + a small slack.
+            lo, hi = int(los[w]), int(his[w])
+            keep = int(keep_cap[w])
+            a, b = int(ext_a[w]), int(ext_b[w])
+            steps = np.diff(np.asarray(rpos[a:b + 1], dtype=np.int64))
+            j_burst = int(np.argmax(steps))
+            cut = int(rpos[a + j_burst]) + 1
+            excess = (hi - lo) - keep
+            left = reads[s][lo:min(cut, lo + keep)]
+            right = reads[s][max(cut + excess, cut):hi]
+            piece = np.concatenate([left, right])[:r_cap]
+            lane = int(lanes[w])
             out_reads[w, lane, :len(piece)] = piece
             rlens[w, lane] = len(piece)
             fl[w, lane] = full_length[s]
-            lane += 1
-        coverage[w] = lane
+        lane_count = lane_count + valid
+    coverage = lane_count.astype(np.int32)
     return WindowBatch(tpl, tlen, core_start, core_end, out_reads, rlens,
                        fl, coverage, priority, wins)

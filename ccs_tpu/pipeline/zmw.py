@@ -286,15 +286,21 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
         return fail(ZmwStatus.TOO_FEW_PASSES_AFTER_DRAFT_ALIGNMENT)
 
     # 3. align subreads to draft: anchor chains give window coordinates
+    # (batched — one shared draft k-mer index across all subreads)
     T = len(draft)
     rpos_list: list[Optional[np.ndarray]] = []
     spans = 0
+    from ccs_tpu.ops.align import chain_batch
+    oriented_mapped = [dna.revcomp(s.seq) if strand else s.seq
+                       for s, strand, m in zip(subs, dr.strands, dr.mapped)
+                       if m]
+    batch_chains = iter(chain_batch(oriented_mapped, draft))
     for s, strand, mapped in zip(subs, dr.strands, dr.mapped):
         if not mapped:
             rpos_list.append(None)
             continue
         read = dna.revcomp(s.seq) if strand else s.seq
-        chain = anchor_chain(read, draft)
+        chain = next(batch_chains)
         if len(chain) < 2:
             rpos_list.append(None)
             continue

@@ -25,28 +25,48 @@ CX_FULL = CX_ADAPTER_BEFORE | CX_ADAPTER_AFTER
 
 def simulate_read(tpl: np.ndarray, params: ArrowParams, snr_bin: int,
                   rng: np.random.Generator) -> np.ndarray:
-    """Draw one read from the generative HMM (see models/chemistry.py)."""
+    """Draw one read from the generative HMM (see models/chemistry.py).
+
+    Vectorized over template positions: while the HMM sits at position j it
+    emits a geometric number of branch/stick insertions (probability
+    trans[j,1]+trans[j,2] of staying), then leaves via match (emit from
+    emit_match) or delete. The branch/stick emissions at one position are
+    exchangeable iid draws, so sampling counts first is distribution-
+    identical to the sequential loop this replaces (which cost ~27 us/base
+    in pure Python)."""
     tpl = np.asarray(tpl, dtype=np.int64)
     T = len(tpl)
+    if T == 0:
+        return np.empty(0, dtype=np.int8)
     prev = np.concatenate([tpl[:1], tpl[:-1]])
     ctx = 4 * prev + tpl
-    trans = params.trans[snr_bin][ctx]
+    trans = params.trans[snr_bin][ctx]     # [T, 4] match/branch/stick/delete
     em = params.emit_match[snr_bin][ctx]
     es = params.emit_stick[snr_bin][ctx]
-    out = []
-    j = 0
-    while j < T:
-        a = rng.choice(4, p=trans[j])
-        if a == 0:    # match
-            out.append(rng.choice(4, p=em[j]))
-            j += 1
-        elif a == 1:  # branch
-            out.append(tpl[j])
-        elif a == 2:  # stick
-            out.append(rng.choice(4, p=es[j]))
-        else:         # delete
-            j += 1
-    return np.asarray(out, dtype=np.int8)
+    p_stay = trans[:, 1] + trans[:, 2]
+    k = rng.geometric(np.clip(1.0 - p_stay, 1e-9, 1.0)) - 1   # inserts at j
+    leave_match = rng.random(T) < trans[:, 0] / np.maximum(
+        trans[:, 0] + trans[:, 3], 1e-12)
+    cum_em = np.cumsum(em, axis=1)
+    mbase = np.minimum(
+        (rng.random(T)[:, None] * cum_em[:, -1:] > cum_em).sum(axis=1), 3)
+    parent = np.repeat(np.arange(T), k)
+    K = len(parent)
+    is_branch = rng.random(K) < (trans[:, 1] /
+                                 np.maximum(p_stay, 1e-12))[parent]
+    cum_es = np.cumsum(es, axis=1)[parent]
+    sbase = np.minimum((rng.random(K)[:, None] * cum_es[:, -1:]
+                        > cum_es).sum(axis=1), 3) if K else \
+        np.empty(0, dtype=np.int64)
+    ins_base = np.where(is_branch, tpl[parent], sbase)
+    lens = k + leave_match.astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    out = np.empty(int(off[-1]), dtype=np.int8)
+    rank = np.arange(K) - np.repeat(np.cumsum(k) - k, k)
+    out[off[parent] + rank] = ins_base
+    mj = np.nonzero(leave_match)[0]
+    out[off[mj] + k[mj]] = mbase[mj]
+    return out
 
 
 @dataclasses.dataclass
