@@ -31,7 +31,7 @@ import time
 
 import numpy as np
 
-W, C, T_CAP, R_CAP = 2048, 16, 40, 47
+W, C, T_CAP, R_CAP = 2048, 16, 44, 47
 WINDOW_CORE = 22
 E2E_ZMWS = 400
 E2E_INSERT = 2000

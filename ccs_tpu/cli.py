@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tpu-profile-dir", type=str, default=None,
                    help="capture a jax.profiler device trace of the run "
                         "into this directory (open with xprof/tensorboard)")
+    p.add_argument("--tpu-dc-polish", action="store_true",
+                   help="refine low-QV windows with the learned "
+                        "DeepConsensus-style model after Arrow polishing "
+                        "(the Revio pipeline stage; model from the built-in "
+                        "dc_v0 or $SMRT_CHEMISTRY_BUNDLE_DIR/dc_model.npz)")
+    p.add_argument("--tpu-dc-qv-thresh", type=float, default=25.0,
+                   help="mean-QV threshold under which a window counts as "
+                        "low-quality for --tpu-dc-polish (default 25)")
     p.add_argument("--version", action="version", version=__version__)
     return p
 
@@ -135,6 +143,8 @@ def config_from_args(args: argparse.Namespace) -> CcsConfig:
         log_level=args.log_level, log_file=args.log_file,
         stderr_json_log=args.stderr_json_log,
         tpu_profile_dir=args.tpu_profile_dir,
+        tpu_dc_polish=args.tpu_dc_polish,
+        tpu_dc_qv_thresh=args.tpu_dc_qv_thresh,
         refresh_rate=args.refresh_rate,
         tpu_control_fasta=args.tpu_control_fasta,
         tpu_resume_dir=args.tpu_resume_dir,

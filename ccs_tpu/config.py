@@ -71,13 +71,12 @@ class CcsConfig:
     heteroduplex_min_len: int = 21  # strand diff > 20 bp fails the ZMW
 
     # --- TPU-only knobs (namespaced; SURVEY.md §5 config row) ---
-    # template buffer per window: core (<= size + repeat shift 6) + 2*overlap
-    # margins + growth slack for insertion mutations during polish. Kernel
-    # time is linear in BOTH caps (every vector op in the fused scorer is
-    # [read_cap-ish, 128] and the bridge loops template positions), so these
-    # are sized to the actual maxima: core <= 22+6, ext <= +8 -> 36 template
-    # positions (slack 4..14), slices <= ext+8 burst slack = 44 < 47
-    tpu_window_tpl_cap: int = 40
+    # template buffer per window: core (<= size + repeat shift 8) + 2*overlap
+    # margins + growth slack for insertion mutations during polish. The
+    # scorer's loops run to each 128-window block's max tlen / live-lane
+    # count (SMEM scalars), so the static caps only size scratch — actual
+    # kernel time tracks the real window sizes (~30), not the caps.
+    tpu_window_tpl_cap: int = 44
     tpu_window_read_cap: int = 47      # padded read-slice length per window
                                        # (47 -> sublane dim 48 in the kernel)
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
@@ -97,15 +96,25 @@ class CcsConfig:
                                              # (fail-reads.md 0x2); falls back
                                              # to $SMRT_CHEMISTRY_BUNDLE_DIR/controls.fasta
     tpu_band_width: int = 128          # banded full-length alignment band
-    tpu_tail_bucket: int = 256         # in-jit tail compaction: finish the
-                                       # polish loop on this many gathered
-                                       # still-active windows once the rest
-                                       # of the bucket has converged
+    tpu_tail_bucket: int = 128         # in-jit compaction cascade: the
+                                       # polish loop gathers still-active
+                                       # windows into sub-batches (B/2, B/8,
+                                       # this) as they fit, so re-score cost
+                                       # tracks the active count (measured
+                                       # best at 128 on v5e)
     tpu_use_pw: bool = True            # condition the polisher on pulse
                                        # widths when the input carries them
                                        # (how-does-ccs-work.md:88-95)
     tpu_profile_dir: Optional[str] = None  # write a jax.profiler trace of
                                            # the run here (SURVEY §5 tracing)
+    tpu_dc_polish: bool = False        # learned low-QV window refinement
+                                       # after Arrow (the Revio DeepConsensus
+                                       # stage, revio.md:29-53); needs a
+                                       # model (built-in dc_v0 or
+                                       # $SMRT_CHEMISTRY_BUNDLE_DIR/dc_model.npz)
+    tpu_dc_qv_thresh: float = 25.0     # windows under this mean QV are
+                                       # "low-quality" and get refined
+                                       # (the 30-70% selection, revio.md:36)
 
     def resolve_mode_all(self) -> "CcsConfig":
         """--all implies --min-passes 0 --min-rq 0 --max-length 0 (mode-all.md:15-17)."""

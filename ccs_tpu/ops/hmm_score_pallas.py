@@ -80,13 +80,12 @@ def _solve_bwd(y, a):
     return x
 
 
-def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
-                  PWI_ref, reads_ref,
+def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
+                  PWM_ref, PWI_ref, reads_ref,
                   rl_ref, lls_ref, ll0_ref,
                   mex_ref, iex_ref, dpx_ref, meM_ref, ieM_ref, dpM_ref,
                   fcols_ref, lsf_ref, betas_ref, lsb_ref,
                   ohdm_ref, ohdi_ref, ohum_ref, ohui_ref,
-                  dots_ref, lsr_ref,
                   *, T: int, C: int, R: int, S: int):
     """One 128-window block. See module docstring for the layout.
 
@@ -98,6 +97,14 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
     9p+k; [0:4,T] = prepends), ll0 [8,LB] (row 0).
     """
     LB = tpl_ref.shape[-1]
+    # per-block dynamic trip counts (SMEM scalars): Tm = max tlen in the
+    # block, Cm = max live-lane count. Live subread lanes are a prefix
+    # (engine fill order), and ops beyond a lane's tlen are identity-padded,
+    # so looping to the block maxima is exact — the kernel simply stops
+    # computing pad positions (tlen ~30 vs T=40 at production shapes).
+    blk = pl.program_id(0)
+    Tm = bounds_ref[blk, 0]
+    Cm = bounds_ref[blk, 1]
     tpl = tpl_ref[:]                                   # [T, LB]
     tl = tlen_ref[:]                                   # [1, LB]
     jrow = jax.lax.broadcasted_iota(jnp.int32, (T, LB), 0)
@@ -159,11 +166,9 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
             ieM_ref[s, x] = ies[x]
         dpM_ref[s] = dps
 
-    # ---- init outputs / scratch accumulators ----
+    # ---- init outputs ----
     lls_ref[:] = jnp.zeros_like(lls_ref)
     ll0_ref[:] = jnp.zeros_like(ll0_ref)
-    dots_ref[:] = jnp.zeros_like(dots_ref)
-    lsr_ref[:] = jnp.zeros_like(lsr_ref)
 
     irow = jax.lax.broadcasted_iota(jnp.int32, (S, LB), 0)
     e0 = (irow == 0).astype(jnp.float32)
@@ -222,18 +227,18 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
             lsf_ref[pl.ds(j + 1, 1)] = ls
             return col, ls
 
-        colT, lsT = jax.lax.fori_loop(0, T + 1, fwd, (e0, z1))
+        colT, lsT = jax.lax.fori_loop(0, Tm + 1, fwd, (e0, z1))
         endm = (irow == rl_c).astype(jnp.float32)
         final = jnp.sum(colT * endm, axis=0, keepdims=True)
         ll0_ref[0:1] += live * (jnp.log(jnp.maximum(final, TINY)) + lsT)
 
         # ---- backward sensitivities (full beta, post-solve) ----
-        betas_ref[T] = endm
-        lsb_ref[pl.ds(T, 1)] = z1
+        betas_ref[Tm] = endm
+        lsb_ref[pl.ds(Tm, 1)] = z1
 
         def bwd(it, carry):
             beta, ls = carry
-            j = T - 1 - it
+            j = Tm - 1 - it
             me4 = mex_ref[:, pl.ds(j + 1, 1)]          # me[j]
             ie4 = iex_ref[:, pl.ds(j, 1)]              # ie[j]
             dpj = dpx_ref[pl.ds(j + 1, 1)]             # dp[j]
@@ -248,13 +253,13 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
             lsb_ref[pl.ds(j, 1)] = ls
             return beta, ls
 
-        jax.lax.fori_loop(0, T, bwd, (endm, z1))
+        jax.lax.fori_loop(0, Tm, bwd, (endm, z1))
 
         # ---- bridge every mutation ----
         def bridge(p, _):
             colm1 = fcols_ref[p]                       # col_{p-1}
             col0 = fcols_ref[p + 1]                    # col_p
-            q = jnp.minimum(p + 2, T)
+            q = jnp.minimum(p + 2, Tm)
             betaq = betas_ref[q]
             lsc_p = lsf_ref[pl.ds(p, 1)]
             lsc_p1 = lsf_ref[pl.ds(p + 1, 1)]
@@ -300,14 +305,15 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
             dot_del = jnp.sum(y2d * betaq, axis=0, keepdims=True)
 
             block = jnp.concatenate(subs + [dot_del] + inss, axis=0)  # [9,LB]
-            dots_ref[0:9, pl.ds(p, 1)] = block[:, None, :]
             ls5 = jnp.broadcast_to(lsc_p + lsb_q, (5, LB))
             ls4 = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
-            lsr_ref[0:9, pl.ds(p, 1)] = jnp.concatenate(
-                [ls5, ls4], axis=0)[:, None, :]
+            lsrow = jnp.concatenate([ls5, ls4], axis=0)
+            contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
+            lls_ref[0:9, pl.ds(p, 1)] = (lls_ref[0:9, pl.ds(p, 1)]
+                                         + contrib[:, None, :])
             return 0
 
-        jax.lax.fori_loop(0, T, bridge, 0)
+        jax.lax.fori_loop(0, Tm, bridge, 0)
 
         # ---- prepends: base x before position 0, bridged from e_0 ----
         beta1 = betas_ref[1]
@@ -332,16 +338,14 @@ def _score_kernel(tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref, PWM_ref,
             v2 = _solve_fwd(y2, emis(ohdi_ref, ie_x0[:, None]))
             y3 = dp_x0 * v2 + emis(ohdm_ref, me_x0[:, None]) * _shift_down(v2, 1)
             pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
-        dots_ref[0:4, pl.ds(T, 1)] = jnp.concatenate(pres, axis=0)[:, None, :]
-        lsr_ref[0:4, pl.ds(T, 1)] = jnp.broadcast_to(
-            lsb_1, (4, LB))[:, None, :]
-
-        # ---- accumulate this subread's log-likelihoods ----
-        lls_ref[:] += live[None] * (
-            jnp.log(jnp.maximum(dots_ref[:], TINY)) + lsr_ref[:])
+        pre_block = jnp.concatenate(pres, axis=0)               # [4, LB]
+        pre_ls = jnp.broadcast_to(lsb_1, (4, LB))
+        pre_c = live * (jnp.log(jnp.maximum(pre_block, TINY)) + pre_ls)
+        lls_ref[0:4, pl.ds(T, 1)] = (lls_ref[0:4, pl.ds(T, 1)]
+                                     + pre_c[:, None, :])
         return 0
 
-    jax.lax.fori_loop(0, C, c_body, 0)
+    jax.lax.fori_loop(0, Cm, c_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -396,6 +400,14 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
 
     grid = (Bp // LB,)
 
+    # per-block dynamic trip counts: max tlen and max live-lane count of
+    # each 128-lane block (SMEM scalars; the kernel loops to these instead
+    # of the static caps, skipping pad positions and dead lanes)
+    tmax_blk = tlen_t[0].reshape(grid[0], LB).max(axis=1)
+    cov_blk = (rl_t >= 0).sum(axis=0).reshape(grid[0], LB).max(axis=1)
+    bounds = jnp.stack(
+        [jnp.maximum(tmax_blk, 1), cov_blk], axis=1).astype(jnp.int32)
+
     def lane_spec(leading):
         n = len(leading)
         return pl.BlockSpec((*leading, LB),
@@ -407,6 +419,7 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds [grid, 2]
             lane_spec((T,)),          # tpl
             lane_spec((1,)),          # tlen
             lane_spec((16, 4)),       # ME
@@ -435,11 +448,9 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
             pltpu.VMEM((4, S, LB), jnp.float32),           # ohdi
             pltpu.VMEM((4, S, LB), jnp.float32),           # ohum
             pltpu.VMEM((4, S, LB), jnp.float32),           # ohui
-            pltpu.VMEM((16, T + 1, LB), jnp.float32),      # dots
-            pltpu.VMEM((16, T + 1, LB), jnp.float32),      # lsrows
         ],
         interpret=interpret,
-    )(tpl_t, tlen_t, ME_t, IE_t, DP_t, PWM_t, PWI_t, reads_t, rl_t)
+    )(bounds, tpl_t, tlen_t, ME_t, IE_t, DP_t, PWM_t, PWI_t, reads_t, rl_t)
 
     # reassemble [B, 9T+4]: slot [k, p] -> m = 9p + k; [0:4, T] = prepends
     lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 16]

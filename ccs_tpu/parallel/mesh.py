@@ -32,7 +32,7 @@ def make_zmw_mesh(n_devices: Optional[int] = None,
 
 def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
                        use_pallas: bool = False, thresh: float = 0.02,
-                       tail_bucket: int = 0):
+                       tail_bucket: int = 0, use_psum: bool = True):
     """Sharded fused polish step over the ('zmw',) mesh — the PRODUCT path.
 
     Window batches shard on their leading axis across all mesh devices
@@ -62,7 +62,7 @@ def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
         yield_bases = jnp.sum(jnp.where(
             live, jnp.maximum(state.core_end - state.core_start, 0), 0))
         stats = jnp.stack([n_conv, total_iters, yield_bases])
-        if n_dev > 1:
+        if n_dev > 1 and use_psum:
             stats = jax.lax.psum(stats, "zmw")
         return state, qv, stats
 
@@ -71,10 +71,16 @@ def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
         jfn = jax.jit(step)
         tables_repl = tables
     else:
+        # without psum (CPU virtual meshes — see engine), stats come back
+        # per-shard and the caller sums on the host: XLA:CPU hard-aborts
+        # the whole process when collective participants skew >40 s
+        # (rendezvous.cc termination timeout), which long polish programs
+        # on oversubscribed host cores can always hit
         smapped = jax.shard_map(
             step, mesh=mesh,
             in_specs=(P(),) + (P("zmw"),) * 9,
-            out_specs=(P("zmw"), P("zmw"), P()),
+            out_specs=(P("zmw"), P("zmw"),
+                       P() if use_psum else P("zmw")),
             check_vma=False)
         repl = NamedSharding(mesh, P())
         tables_repl = jax.device_put(
@@ -85,6 +91,7 @@ def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
         return jfn(tables_repl, *args)
 
     fn._jitted = jfn  # exposed for compile-cache assertions in tests
+    fn.stats_sharded = bool(n_dev > 1 and not use_psum)
     return fn
 
 

@@ -75,7 +75,33 @@ class CcsEngine:
             self.mesh, self.tables,
             max_iters=self.cfg.max_polish_iterations,
             use_pallas=use_pallas, thresh=self.cfg.tpu_polish_thresh,
-            tail_bucket=self.cfg.tpu_tail_bucket)
+            tail_bucket=self.cfg.tpu_tail_bucket,
+            # stats ride an ICI psum on real chips (P5); CPU virtual meshes
+            # sum on the host instead — XLA:CPU aborts the process if the
+            # shards of a long program reach the all-reduce >40 s apart
+            use_psum=use_pallas)
+        self._dc_refine = None
+        if self.cfg.tpu_dc_polish:
+            import functools
+            import os
+            from ccs_tpu.models.dc_polisher import DcModel, builtin_model, \
+                refine_chunk
+            bundle = os.environ.get("SMRT_CHEMISTRY_BUNDLE_DIR")
+            dc_path = bundle and os.path.join(bundle, "dc_model.npz")
+            model = (DcModel.load(dc_path)
+                     if dc_path and os.path.exists(dc_path)
+                     else builtin_model())
+            if model is None:
+                logger.warning("--tpu-dc-polish requested but no model "
+                               "available (no built-in dc_v0.npz and no "
+                               "bundle dc_model.npz); skipping refinement")
+            else:
+                logger.info("DC window refinement enabled (ctx=%d)",
+                            model.ctx)
+                self._dc_refine = jax.jit(functools.partial(
+                    refine_chunk, model.tree(), model.ctx, self.tables,
+                    qv_thresh=self.cfg.tpu_dc_qv_thresh,
+                    use_pallas=use_pallas))
         self.control = _load_control(self.cfg)
         # device-side summary counters, psum-reduced across the mesh (P5)
         self.polish_stats = np.zeros(3, np.int64)
@@ -241,7 +267,8 @@ class CcsEngine:
             try:
                 it.result = finalize_zmw(
                     it, st["tpl"], st["tlen"], st["cs"], st["ce"],
-                    st["qv"], st["conv"], self.cfg)
+                    st["qv"], st["conv"], self.cfg,
+                    qv_rq=st.get("qv_rq"))
             except Exception:  # noqa: BLE001
                 logger.exception("finalize failed for ZMW %s", it.zmw.hole)
                 it.result.status = ZmwStatus.EXCEPTION_THROWN
@@ -284,18 +311,30 @@ class CcsEngine:
 
         state, qv, stats = self._polish_step(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority)
-        return (chunk, state, qv, stats)
+        qv_rq = None
+        if self._dc_refine is not None:
+            # Revio-shaped learned refinement of low-QV windows
+            # (revio.md:29-53); qv_rq carries the model's QVs for the rq
+            # stream, qv the Arrow re-scores of the refined sequence
+            ntpl, nlen, ncs, nce, qv, qv_rq, _proc = self._dc_refine(
+                state, qv, reads, rlens, snr_bin)
+            state = state._replace(tpl=ntpl, tlen=nlen,
+                                   core_start=ncs, core_end=nce)
+        return (chunk, state, qv, qv_rq, stats)
 
     def _collect_chunk(self, handle, stage: dict) -> None:
-        chunk, state, qv, stats = handle
+        chunk, state, qv, qv_rq, stats = handle
         import time as _time
         _t0 = _time.monotonic()
         s = np.asarray(stats)  # materializing blocks until the device is done
+        if getattr(self._polish_step, "stats_sharded", False):
+            s = s.reshape(-1, 3).sum(axis=0)
         out_tpl = np.asarray(state.tpl)
         out_tlen = np.asarray(state.tlen)
         out_cs = np.asarray(state.core_start)
         out_ce = np.asarray(state.core_end)
         out_qv = np.asarray(qv)
+        out_qv_rq = np.asarray(qv_rq) if qv_rq is not None else None
         nonconv = np.asarray(state.active)
         self.t_device += _time.monotonic() - _t0
         self.polish_stats += s  # [n_converged, total_iters, yield_bases]
@@ -307,4 +346,7 @@ class CcsEngine:
             st["cs"][w] = out_cs[i]
             st["ce"][w] = out_ce[i]
             st["qv"][w] = out_qv[i]
+            if out_qv_rq is not None:
+                st.setdefault("qv_rq", np.zeros_like(st["qv"]))[w] = \
+                    out_qv_rq[i]
             st["conv"][w] = not nonconv[i]

@@ -50,7 +50,7 @@ class Window:
 
 
 def cut_windows(draft: np.ndarray, size: int = 22, overlap: int = 2,
-                max_shift: int = 6) -> list[Window]:
+                max_shift: int = 8) -> list[Window]:
     """Cut repeat-aware windows over the draft."""
     T = len(draft)
     if T == 0:
@@ -157,7 +157,7 @@ def build_window_batch(draft: np.ndarray,
                        rpos_list: list[np.ndarray],
                        reads: list[np.ndarray],
                        full_length: list[bool],
-                       t_cap: int = 40, r_cap: int = 47, c_cap: int = 32,
+                       t_cap: int = 44, r_cap: int = 47, c_cap: int = 32,
                        size: int = 22, overlap: int = 4,
                        max_insertion_size: int = 30) -> WindowBatch:
     """Slice every mapped subread into every window.
@@ -173,6 +173,16 @@ def build_window_batch(draft: np.ndarray,
     W = len(wins)
     S = len(reads)
     C = min(S, c_cap)
+    if S > C:
+        # lane overflow: full-length passes claim lanes first (stable order,
+        # so the alternating strands stay balanced) instead of dropping
+        # whichever passes happened to sort last — ec semantics use "all
+        # subreads" (accuracy-vs-passes.md:15-29), so the evidence kept
+        # should be the best available, not the first encountered
+        order = sorted(range(S), key=lambda s: (not full_length[s], s))
+        rpos_list = [rpos_list[s] for s in order]
+        reads = [reads[s] for s in order]
+        full_length = [full_length[s] for s in order]
     ext_a = np.asarray([w.ext_a for w in wins], dtype=np.int64)
     ext_b = np.asarray([w.ext_b for w in wins], dtype=np.int64)
     win_len = ext_b - ext_a

@@ -404,26 +404,33 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
 def finalize_zmw(item: ZmwWorkItem, tpl: np.ndarray, tlen: np.ndarray,
                  core_start: np.ndarray, core_end: np.ndarray,
                  qv: np.ndarray, converged: np.ndarray,
-                 cfg: CcsConfig) -> ConsensusResult:
+                 cfg: CcsConfig,
+                 qv_rq: Optional[np.ndarray] = None) -> ConsensusResult:
     """Host phase 3: stitch polished window cores, compute rq, gate on
-    --min-rq (how-does-ccs-work.md:108-112)."""
+    --min-rq (how-does-ccs-work.md:108-112). ``qv_rq``, when given, is a
+    parallel per-base QV stream used ONLY for rq (the Revio DC rule:
+    rq averages the model QVs on processed windows while the written
+    per-base QVs are Arrow re-scores — revio.md:41-51)."""
     res = item.result
     if not np.all(converged):
         res.status = ZmwStatus.NON_CONVERGENT
         return res
-    pieces, qv_pieces = [], []
+    pieces, qv_pieces, rq_pieces = [], [], []
     for w in range(len(tlen)):
         a, b = int(core_start[w]), int(core_end[w])
         a = max(0, min(a, int(tlen[w])))
         b = max(a, min(b, int(tlen[w])))
         pieces.append(np.asarray(tpl[w, a:b], dtype=np.int8))
         qv_pieces.append(np.asarray(qv[w, a:b], dtype=np.float32))
+        if qv_rq is not None:
+            rq_pieces.append(np.asarray(qv_rq[w, a:b], dtype=np.float32))
     seq = np.concatenate(pieces) if pieces else np.empty(0, np.int8)
     qvs = np.concatenate(qv_pieces) if qv_pieces else np.empty(0, np.float32)
     if len(seq) == 0:
         res.status = ZmwStatus.DRAFT_FAILURE
         return res
-    p_err = np.power(10.0, -qvs / 10.0)
+    rq_stream = np.concatenate(rq_pieces) if rq_pieces else qvs
+    p_err = np.power(10.0, -rq_stream / 10.0)
     rq = float(1.0 - p_err.mean())
     res.seq = seq
     res.qv = qvs

@@ -34,7 +34,13 @@ def _zin(z, movie="m_scale"):
 @pytest.mark.slow
 def test_15kb_zmw_end_to_end():
     z = simulate_zmw(hole=7, insert_len=15_000, n_passes=8, snr=9.0)
-    eng = CcsEngine(CcsConfig(batch_size=4))
+    # 2-device mesh: XLA:CPU aborts the PROCESS if any shard reaches the
+    # stats psum >40s after the first (rendezvous.cc termination timeout) —
+    # with 8 virtual devices on 2 physical cores the big 15 kb program
+    # cannot keep all shards within that window. Real chips run shards
+    # simultaneously; 8-way equivalence is covered by test_mesh on small
+    # shapes.
+    eng = CcsEngine(CcsConfig(batch_size=4, tpu_mesh_shape=(2,)))
     t0 = time.time()
     items = eng.prepare_batch([_zin(z)])
     t_prep = time.time() - t0
@@ -66,7 +72,7 @@ def test_15kb_zmw_end_to_end():
 def test_prepare_linear_in_insert_size():
     """Host prepare time ~linear in insert size (performance.md:27-31).
     Allow generous slack for constant overheads at the small end."""
-    eng = CcsEngine(CcsConfig(batch_size=4))
+    eng = CcsEngine(CcsConfig(batch_size=4, tpu_mesh_shape=(2,)))
     times = {}
     for il in (2_000, 8_000):
         z = simulate_zmw(hole=il, insert_len=il, n_passes=8, snr=9.0)
