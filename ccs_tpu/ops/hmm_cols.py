@@ -74,15 +74,12 @@ def _oh_pw(reads: jnp.ndarray, snr_bin: jnp.ndarray, tables: dict):
     per-base pw likelihood factor for Match (ohm) and Branch/Stick (ohi)
     emissions. Plain-base reads (codes 0..3) are pw bin 0, factor 1, so the
     pw-agnostic path is the special case."""
-    B = reads.shape[0]
     r = reads.astype(jnp.int32)
     c = jnp.clip(r, 0, 15)
     oh = jax.nn.one_hot(c % 4, 4, dtype=jnp.float32)
     oh = jnp.where((r >= 0)[..., None], oh, 0.0)
     w = c // 4
-    bi = jnp.arange(B)[:, None, None]
-    fm = tables["pw_match"][snr_bin][bi[..., 0], w] if False else \
-        tables["pw_match"][snr_bin[:, None, None], w]
+    fm = tables["pw_match"][snr_bin[:, None, None], w]
     fi = tables["pw_ins"][snr_bin[:, None, None], w]
     return oh * fm[..., None], oh * fi[..., None]
 

@@ -58,12 +58,15 @@ def test_15kb_zmw_end_to_end():
     assert res.rq > 0.99, res.rq
     assert abs(len(res.seq) - 15_000) < 100
     # consensus error rate vs truth < 0.2% (alignment-free check on chunks:
-    # a full 15 kb alignment is slow; sample k-mer identity instead)
+    # a full 15 kb alignment is slow; sample k-mer identity instead). The
+    # consensus orientation is arbitrary — the draft backbone may come out
+    # reverse-complemented — so accept either (as test_engine does).
     truth = z.insert
     cons = res.seq
     from ccs_tpu.ops.align import anchor_chain
-    chain = anchor_chain(cons, truth, 13)
-    assert len(chain) > 10_000  # >2/3 of all 13-mers anchor exactly
+    n_anchor = max(len(anchor_chain(cons, truth, 13)),
+                   len(anchor_chain(cons, dna.revcomp(truth), 13)))
+    assert n_anchor > 10_000  # >2/3 of all 13-mers anchor exactly
     # prepare stays sane at scale (host phase; ~linear in insert size)
     assert t_prep < 120.0, t_prep
 
