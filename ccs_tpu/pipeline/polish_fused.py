@@ -313,16 +313,18 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
     (state, qv [B,T], p_err [B,T]). ``priority`` (C7) acts as a selection
     mask; None = exhaustive.
 
-    ``tail_bucket`` > 0 enables IN-JIT tail compaction: ~97% of windows at
-    production shapes converge within 2-3 iterations, but the lock-step
-    while_loop re-scores the whole batch until the slowest window finishes.
-    Instead, the full-batch loop runs only while more than ``tail_bucket``
-    windows are still improving; the survivors then gather (static-size
-    jnp.nonzero) into a [tail_bucket] sub-batch that finishes the loop, and
-    scatter back. No host round-trip, no dynamic shapes, bit-identical
-    results — this realizes the batch-level analog of the documented
-    candidate-heuristic economics (faq/performance.md:90-93) and composes
-    with shard_map (per-shard tails)."""
+    ``tail_bucket`` > 0 enables IN-JIT compaction: ~97% of windows at
+    production shapes converge within 2-3 iterations, but a lock-step
+    while_loop would re-score the whole batch until the slowest window
+    finishes. Instead every iteration gathers the still-improving rows to
+    the FRONT of the batch (static-size jnp.nonzero permutation) before the
+    re-score and scatters the fresh scores back; converged rows land in
+    all-dead 128-lane blocks that the Pallas kernel skips via its
+    ``pl.when(Cm > 0)`` guard, so re-score cost tracks the active count at
+    128-row granularity. One compiled program, no host round-trip, no
+    dynamic shapes, bit-identical results — the batch-level analog of the
+    documented candidate-heuristic economics (faq/performance.md:90-93),
+    composing with shard_map (per-shard compaction)."""
     B, T = tpl.shape
     if is_first is None:
         is_first = jnp.zeros(B, dtype=bool)
@@ -333,11 +335,14 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
     priority = jnp.where(j < tlen[:, None], priority.astype(jnp.float32), 0.0)
 
     def make_body(snr_b, reads_b, rlens_b, is_first_b):
-        def score(t, tl):
-            return score_all(t, tl, snr_b, reads_b, rlens_b, tables,
+        def score(t, tl, sb=None, rd=None, rl=None):
+            return score_all(t, tl,
+                             snr_b if sb is None else sb,
+                             reads_b if rd is None else rd,
+                             rlens_b if rl is None else rl, tables,
                              use_pallas=use_pallas, interpret=interpret)
 
-        def body(s):
+        def body(s, compact: bool = False):
             sel, pkind, pre_sel, pre_base, _ = select_mutations(
                 s.lls, s.ll, s.priority, T, thresh=thresh)
             sel &= s.active[:, None]
@@ -349,7 +354,31 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
             m = improved[:, None]
             tpl2 = jnp.where(m, ntpl, s.tpl)
             tlen2 = jnp.where(improved, nlen, s.tlen)
-            lls2, ll2 = score(tpl2, tlen2)
+            if not compact:
+                lls2, ll2 = score(tpl2, tlen2)
+            else:
+                # gather still-improving rows to the front before scoring:
+                # converged rows become all-dead trailing 128-lane blocks
+                # the kernel skips (pl.when guard), so re-score cost tracks
+                # the active count. Scatter the fresh scores back; rows not
+                # re-scored keep the lls of their (unchanged) template.
+                Bn = tpl2.shape[0]
+                idx = jnp.nonzero(improved, size=Bn, fill_value=Bn)[0]
+                idc = jnp.minimum(idx, Bn - 1)
+                ok = idx < Bn
+
+                def g(a, fill=None):
+                    out = jnp.take(a, idc, axis=0)
+                    if fill is not None:
+                        shape = (Bn,) + (1,) * (out.ndim - 1)
+                        out = jnp.where(ok.reshape(shape), out,
+                                        jnp.asarray(fill, out.dtype))
+                    return out
+
+                lls_g, ll_g = score(g(tpl2), g(tlen2, 1), g(snr_b),
+                                    g(reads_b, -1), g(rlens_b, -1))
+                lls2 = s.lls.at[idx].set(lls_g, mode="drop")
+                ll2 = s.ll.at[idx].set(ll_g, mode="drop")
             return FusedPolishState(
                 tpl=tpl2, tlen=tlen2,
                 core_start=jnp.where(improved, ncs, s.core_start),
@@ -381,56 +410,11 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
             return (n_act > n_left) & (it < max_iters)
         return cond
 
-    def run_compacted(state, K: int, nxt: int):
-        """Gather the <= K still-active rows into a [K] sub-batch, loop it
-        until <= nxt remain active, scatter back. Row index B = dropped."""
-        idx = jnp.nonzero(state.active, size=K, fill_value=B)[0]
-        idc = jnp.minimum(idx, B - 1)
-        ok = idx < B
-
-        def g(a, fill=None):
-            out = jnp.take(a, idc, axis=0)
-            if fill is not None:
-                shape = (K,) + (1,) * (out.ndim - 1)
-                out = jnp.where(ok.reshape(shape), out,
-                                jnp.asarray(fill, out.dtype))
-            return out
-
-        sub = FusedPolishState(
-            tpl=g(state.tpl), tlen=g(state.tlen, 1),
-            core_start=g(state.core_start), core_end=g(state.core_end),
-            ll=g(state.ll), lls=g(state.lls),
-            active=g(state.active, False), n_iter=g(state.n_iter, 0),
-            priority=g(state.priority))
-        _, body_k = make_body(g(snr_bin), g(reads),
-                              g(rlens, -1), g(is_first, False))
-        sub = jax.lax.while_loop(cond_to(nxt), body_k, sub)
-
-        def sc(full, part):
-            return full.at[idx].set(part, mode="drop")
-
-        return FusedPolishState(
-            tpl=sc(state.tpl, sub.tpl), tlen=sc(state.tlen, sub.tlen),
-            core_start=sc(state.core_start, sub.core_start),
-            core_end=sc(state.core_end, sub.core_end),
-            ll=sc(state.ll, sub.ll), lls=sc(state.lls, sub.lls),
-            active=sc(state.active, sub.active),
-            n_iter=sc(state.n_iter, sub.n_iter),
-            priority=sc(state.priority, sub.priority))
-
-    if not tail_bucket or tail_bucket >= B:
+    if not tail_bucket or B <= 128:
         state = jax.lax.while_loop(cond_to(0), body, state)
     else:
-        # compaction cascade: each level gathers the survivors into a
-        # smaller sub-batch as soon as they fit, so re-score cost tracks the
-        # ACTIVE count instead of the full batch riding the while_loop in
-        # lock-step (the batch-level analog of faq/performance.md:90-93)
-        levels = sorted({k for k in (B // 2, B // 8, tail_bucket)
-                         if tail_bucket <= k < B}, reverse=True)
-        state = jax.lax.while_loop(cond_to(levels[0]), body, state)
-        for li, K in enumerate(levels):
-            nxt = levels[li + 1] if li + 1 < len(levels) else 0
-            state = run_compacted(state, K, nxt)
+        state = jax.lax.while_loop(cond_to(0),
+                                   lambda s: body(s, compact=True), state)
     qv, p_err = _qv_from_lls(state.lls, state.ll, state.tpl, state.tlen)
     return state, qv, p_err
 

@@ -24,7 +24,8 @@ CX_FULL = CX_ADAPTER_BEFORE | CX_ADAPTER_AFTER
 
 
 def simulate_read(tpl: np.ndarray, params: ArrowParams, snr_bin: int,
-                  rng: np.random.Generator) -> np.ndarray:
+                  rng: np.random.Generator,
+                  return_classes: bool = False) -> np.ndarray:
     """Draw one read from the generative HMM (see models/chemistry.py).
 
     Vectorized over template positions: while the HMM sits at position j it
@@ -33,11 +34,17 @@ def simulate_read(tpl: np.ndarray, params: ArrowParams, snr_bin: int,
     emit_match) or delete. The branch/stick emissions at one position are
     exchangeable iid draws, so sampling counts first is distribution-
     identical to the sequential loop this replaces (which cost ~27 us/base
-    in pure Python)."""
+    in pure Python).
+
+    ``return_classes`` additionally returns the per-base event class
+    (0=match, 1=branch, 2=stick) so callers can sample kinetics
+    conditioned on the event type (how-does-ccs-work.md:88-95 — real
+    branch/stick events ride on distinctive short pulses)."""
     tpl = np.asarray(tpl, dtype=np.int64)
     T = len(tpl)
     if T == 0:
-        return np.empty(0, dtype=np.int8)
+        e = np.empty(0, dtype=np.int8)
+        return (e, e.copy()) if return_classes else e
     prev = np.concatenate([tpl[:1], tpl[:-1]])
     ctx = 4 * prev + tpl
     trans = params.trans[snr_bin][ctx]     # [T, 4] match/branch/stick/delete
@@ -66,7 +73,29 @@ def simulate_read(tpl: np.ndarray, params: ArrowParams, snr_bin: int,
     out[off[parent] + rank] = ins_base
     mj = np.nonzero(leave_match)[0]
     out[off[mj] + k[mj]] = mbase[mj]
-    return out
+    if not return_classes:
+        return out
+    cls = np.empty(int(off[-1]), dtype=np.int8)
+    cls[off[parent] + rank] = np.where(is_branch, 1, 2).astype(np.int8)
+    cls[off[mj] + k[mj]] = 0
+    return out, cls
+
+
+def sample_pw_frames(classes: np.ndarray,
+                     rng: np.random.Generator) -> np.ndarray:
+    """Pulse-width frames per read base, conditioned on the event class.
+
+    Real SMRT kinetics: genuine incorporations hold the polymerase longer
+    (long pulses), while branch/stick artifacts are short spurious pulses —
+    that correlation is why the documented model keys on PW
+    (how-does-ccs-work.md:88-95). Matches draw frames centered ~18
+    (mostly pw bins 2-3 of pw_edges=[10,24]), insertions centered ~7
+    (mostly bins 1-2), with enough overlap that PW is informative, not
+    deterministic."""
+    classes = np.asarray(classes)
+    lam = np.where(classes == 0, 18.0, 7.0)
+    frames = rng.poisson(lam) + 1
+    return np.clip(frames, 1, 255).astype(np.uint8)
 
 
 @dataclasses.dataclass
@@ -77,34 +106,44 @@ class SimZmw:
     strands: list[int]              # 0 = fwd, 1 = rev per subread
     cx: list[int]                   # local context flags per subread
     snr: np.ndarray                 # per-channel SNR (4,)
+    pws: Optional[list] = None      # per-subread pw frames (uint8), event-
+                                    # class-conditioned (sample_pw_frames)
 
 
 def simulate_zmw(hole: int, insert_len: int, n_passes: int,
                  params: Optional[ArrowParams] = None,
                  rng: Optional[np.random.Generator] = None,
                  snr: float = 8.0,
-                 first_partial: bool = False) -> SimZmw:
+                 first_partial: bool = False,
+                 with_pw: bool = False) -> SimZmw:
     """Simulate one ZMW: a random insert sequenced ``n_passes`` times with
-    alternating strand orientation (the SMRTbell rolling circle)."""
+    alternating strand orientation (the SMRTbell rolling circle).
+    ``with_pw`` samples event-class-conditioned pulse widths per base."""
     params = params or default_params()
     rng = rng or np.random.default_rng(hole)
     insert = rng.integers(0, 4, size=insert_len).astype(np.int8)
     snr_arr = np.asarray([snr] * 4, dtype=np.float32) + rng.normal(0, 0.5, 4).astype(np.float32)
     snr_bin = int(params.snr_bin(float(snr_arr.mean())))
     subreads, strands, cxs = [], [], []
+    pws = [] if with_pw else None
     for p in range(n_passes):
         strand = p % 2
         tpl = dna.revcomp(insert) if strand else insert
-        read = simulate_read(tpl, params, snr_bin, rng)
+        read, cls = simulate_read(tpl, params, snr_bin, rng,
+                                  return_classes=True)
+        pw = sample_pw_frames(cls, rng) if with_pw else None
         cx = CX_FULL
         if first_partial and p == 0:
             read = read[len(read) // 2:]
+            pw = pw[len(pw) // 2:] if pw is not None else None
             cx = CX_ADAPTER_AFTER
         subreads.append(read)
         strands.append(strand)
         cxs.append(cx)
+        if pws is not None:
+            pws.append(pw)
     return SimZmw(hole=hole, insert=insert, subreads=subreads,
-                  strands=strands, cx=cxs, snr=snr_arr)
+                  strands=strands, cx=cxs, snr=snr_arr, pws=pws)
 
 
 def simulate_heteroduplex_zmw(hole: int, insert_len: int, n_passes: int,
@@ -155,7 +194,8 @@ def write_subreads_bam(path: str, zmws: list[SimZmw],
     with BamWriter(path, header) as w:
         for z in zmws:
             qpos = 0
-            for read, cx in zip(z.subreads, z.cx):
+            pws = z.pws if z.pws is not None else [None] * len(z.subreads)
+            for read, cx, pw in zip(z.subreads, z.cx, pws):
                 qs, qe = qpos, qpos + len(read)
                 qpos = qe + 40  # adapter gap in polymerase coordinates
                 rec = BamRecord(name=f"{movie}/{z.hole}/{qs}_{qe}", seq=read, qual=None)
@@ -167,10 +207,13 @@ def write_subreads_bam(path: str, zmws: list[SimZmw],
                 rec.set_tag("sn", "B", z.snr, "f")
                 rec.set_tag("rq", "f", 0.8)
                 rec.set_tag("RG", "Z", b"sim0001")
-                if with_kinetics:
+                if with_kinetics or pw is not None:
                     n = len(read)
-                    rec.set_tag("ip", "B", rng.integers(4, 60, n).astype(np.uint8), "C")
-                    rec.set_tag("pw", "B", rng.integers(4, 40, n).astype(np.uint8), "C")
+                    rec.set_tag("ip", "B",
+                                rng.integers(4, 60, n).astype(np.uint8), "C")
+                    if pw is None:
+                        pw = rng.integers(4, 40, n).astype(np.uint8)
+                    rec.set_tag("pw", "B", np.asarray(pw, np.uint8), "C")
                 w.write_record(rec)
                 records.append(rec)
         voffs = list(w.voffsets)

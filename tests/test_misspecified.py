@@ -1,0 +1,215 @@
+"""Adversarial validation: the engine measured on data its scorer did NOT
+generate (VERDICT r3 missing 2 — break the simulator circularity).
+
+Every other accuracy/calibration test samples reads from the same Arrow HMM
+family the scorer uses. Here the generating process is misspecified on
+purpose, the way real instruments are:
+
+- **chemistry mismatch**: true indel rates 1.6-2x the scoring tables;
+- **SNR drift within a ZMW**: each pass samples at a different SNR bin
+  while the scorer sees only the ZMW-level mean;
+- **context-correlated bursts**: short multi-base insertion bursts at
+  random sites (cosmic-ray-style pulse pileups no left-right HMM emits);
+- **chimeric molecules**: later passes from a different template.
+
+The pipeline is then held to the reference's own bars: Q20+ consensus at
+>=8 passes (nomenclature.md:20-22), QV calibration within 3 QV of the
+empirical error (accuracy-vs-passes.md:15-29), and chimeras must not pass
+as clean HiFi reads. Chemistry re-fitting from the misspecified reads
+(models/fit.py — the production calibration path, chemistry.md:27-56) is
+part of the loop.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ccs_tpu.config import CcsConfig
+from ccs_tpu.models.chemistry import default_params
+from ccs_tpu.ops import dna
+from ccs_tpu.ops.align import anchor_chain, guided_align
+from ccs_tpu.pipeline.engine import CcsEngine
+from ccs_tpu.pipeline.zmw import Subread, ZmwInput
+from ccs_tpu.sim.simulator import CX_FULL, sample_pw_frames, simulate_read
+from ccs_tpu.statuses import ZmwStatus
+
+
+def true_chemistry(scale_ins=1.6, scale_del=2.0, scale_mis=1.5):
+    """The 'real instrument': error rates the stock tables underestimate."""
+    p = default_params()
+    trans = p.trans.astype(np.float64)
+    trans[..., 1] *= scale_ins
+    trans[..., 2] *= scale_ins
+    trans[..., 3] *= scale_del
+    trans /= trans.sum(-1, keepdims=True)
+    em = p.emit_match.astype(np.float64)
+    cur = np.arange(16) % 4
+    for c in range(16):
+        off = 1.0 - em[:, c, cur[c]]
+        em[:, c, :] = em[:, c, :] * scale_mis
+        em[:, c, cur[c]] = 1.0 - off * scale_mis
+    return dataclasses.replace(p, trans=trans.astype(np.float32),
+                               emit_match=em.astype(np.float32))
+
+
+def misspecified_zmw(hole, insert_len, n_passes, rng, chem=None,
+                     burst_rate=1 / 700.0, drift=2, chimera_from=None):
+    """One ZMW sampled from the adversarial process (see module docstring).
+
+    ``drift``: per-pass SNR bin wanders +-drift around the ZMW mean bin.
+    ``chimera_from``: template for the second half of the passes."""
+    chem = chem or true_chemistry()
+    insert = rng.integers(0, 4, insert_len).astype(np.int8)
+    snr = np.asarray([9.0] * 4, np.float32) + rng.normal(0, 0.4, 4).astype(
+        np.float32)
+    base_bin = int(chem.snr_bin(float(snr.mean())))
+    subs, qpos = [], 0
+    for p in range(n_passes):
+        tpl = insert
+        if chimera_from is not None and p >= n_passes // 2:
+            tpl = chimera_from
+        strand = p % 2
+        tpl = dna.revcomp(tpl) if strand else tpl
+        b = int(np.clip(base_bin + rng.integers(-drift, drift + 1), 0, 7))
+        read, cls = simulate_read(tpl, chem, b, rng, return_classes=True)
+        pw = sample_pw_frames(cls, rng)
+        # context-correlated insertion bursts
+        n_bursts = rng.poisson(burst_rate * len(read))
+        for _ in range(int(n_bursts)):
+            at = int(rng.integers(0, len(read) + 1))
+            blen = int(rng.integers(3, 7))
+            burst = rng.integers(0, 4, blen).astype(np.int8)
+            read = np.concatenate([read[:at], burst, read[at:]])
+            pw = np.concatenate([pw[:at],
+                                 np.full(blen, 3, np.uint8), pw[at:]])
+        subs.append(Subread(seq=read, cx=CX_FULL, qs=qpos,
+                            qe=qpos + len(read), pw=pw))
+        qpos += len(read) + 40
+    return ZmwInput(hole=hole, movie="m_miss", subreads=subs,
+                    snr=snr), insert
+
+
+def consensus_errors(seq, truth):
+    """Edit distance consensus vs truth, orientation-free."""
+    def dist(a, b):
+        aln = guided_align(np.asarray(a), np.asarray(b), band=48)
+        if aln is None:
+            return max(len(a), len(b))
+        return sum(ln for ln, op in aln.cigar if op != "M") + _mm(a, b, aln)
+
+    def _mm(a, b, aln):
+        i = j = mm = 0
+        for ln, op in aln.cigar:
+            if op == "M":
+                mm += int((np.asarray(a[i:i + ln]) !=
+                           np.asarray(b[j:j + ln])).sum())
+                i += ln
+                j += ln
+            elif op == "I":
+                i += ln
+            else:
+                j += ln
+        return mm
+
+    return min(dist(seq, truth), dist(seq, dna.revcomp(truth)))
+
+
+@pytest.fixture(scope="module")
+def fitted_engine():
+    """Chemistry fitted FROM the misspecified reads, as production would
+    (fit_from_zmws against drafts), then an engine scoring with it."""
+    from ccs_tpu.models.fit import fit_from_zmws
+    rng = np.random.default_rng(11)
+    fit_zmws = [misspecified_zmw(h, 400, 8, rng)[0] for h in range(12)]
+    fitted = fit_from_zmws(fit_zmws, name="misspec-fit")
+    eng = CcsEngine(CcsConfig(batch_size=16, tpu_mesh_shape=(1,)),
+                    params=fitted)
+    return eng
+
+
+@pytest.mark.slow
+class TestMisspecified:
+    def test_q20_at_8_passes_and_calibration(self, fitted_engine):
+        """Accuracy-vs-passes + QV calibration under misspecification
+        (performance.md:99-106 methodology; Q20 bar nomenclature.md:20-22).
+        """
+        rng = np.random.default_rng(77)
+        table = {}
+        for n_passes in (5, 8, 12):
+            zmws, truths = zip(*[
+                misspecified_zmw(1000 * n_passes + i, 300, n_passes, rng)
+                for i in range(8)])
+            res = fitted_engine.process_batch(list(zmws))
+            errs, bases, perr_pred = 0, 0, 0.0
+            n_ok = 0
+            for r, t in zip(res, truths):
+                if r.status != ZmwStatus.SUCCESS:
+                    continue
+                n_ok += 1
+                errs += consensus_errors(r.seq, t)
+                bases += len(r.seq)
+                perr_pred += float(np.sum(10.0 ** (-np.asarray(r.qv) / 10)))
+            assert n_ok >= 6, (n_passes, n_ok,
+                               [r.status.name for r in res])
+            emp_q = -10 * np.log10(max(errs, 0.5) / bases)
+            pred_q = -10 * np.log10(max(perr_pred, 0.5) / bases)
+            table[n_passes] = (errs, bases, round(emp_q, 1),
+                               round(pred_q, 1))
+        # accuracy grows with passes; >=Q20 at 8+ passes
+        assert table[8][2] >= 20.0, table
+        assert table[12][2] >= table[5][2], table
+        # calibration: predicted mean QV within 3 of empirical (both
+        # directions — overconfidence is the dangerous one)
+        for n_passes in (8, 12):
+            errs, bases, emp_q, pred_q = table[n_passes]
+            assert abs(pred_q - emp_q) <= 3.0 or errs == 0, table
+
+    def test_chimera_does_not_pass_clean(self, fitted_engine):
+        """A molecule whose later passes come from a DIFFERENT template
+        must not emerge as a clean high-rq consensus of either template."""
+        rng = np.random.default_rng(5)
+        other = rng.integers(0, 4, 300).astype(np.int8)
+        z, insert = misspecified_zmw(9001, 300, 10, rng, chimera_from=other)
+        res = fitted_engine.process_batch([z])[0]
+        if res.status == ZmwStatus.SUCCESS:
+            # if anything passes, it must be one clean template (draft
+            # acceptance dropped the other strand set), not a mosaic
+            e1 = consensus_errors(res.seq, insert)
+            e2 = consensus_errors(res.seq, other)
+            assert min(e1, e2) <= 6, (e1, e2)
+
+    def test_heteroduplex_detected_under_mismatch(self, fitted_engine):
+        """True heteroduplex molecules still fail HETERODUPLEXES even when
+        the chemistry is misspecified (how-does-ccs-work.md:65-72)."""
+        from ccs_tpu.sim.simulator import simulate_heteroduplex_zmw
+        chem = true_chemistry()
+        z = simulate_heteroduplex_zmw(42, 400, 10, ins_len=40, params=chem)
+        subs, qpos = [], 0
+        for read, cx in zip(z.subreads, z.cx):
+            subs.append(Subread(seq=read, cx=cx, qs=qpos,
+                                qe=qpos + len(read)))
+            qpos += len(read) + 40
+        res = fitted_engine.process_batch(
+            [ZmwInput(hole=42, movie="m_hd", subreads=subs, snr=z.snr)])[0]
+        assert res.status == ZmwStatus.HETERODUPLEXES, res.status.name
+
+    def test_fitted_beats_stock_under_mismatch(self, fitted_engine):
+        """Re-fitting the chemistry from misspecified reads must reduce
+        consensus errors vs scoring with the stock tables (the documented
+        reason chemistry bundles exist, chemistry.md:27-56)."""
+        rng = np.random.default_rng(31)
+        zmws, truths = zip(*[misspecified_zmw(500 + i, 300, 8, rng)
+                             for i in range(10)])
+        stock = CcsEngine(CcsConfig(batch_size=16, tpu_mesh_shape=(1,)),
+                          params=default_params())
+        res_f = fitted_engine.process_batch(list(zmws))
+        res_s = stock.process_batch(list(zmws))
+
+        def total(res):
+            return sum(consensus_errors(r.seq, t)
+                       for r, t in zip(res, truths)
+                       if r.status == ZmwStatus.SUCCESS and r.seq is not None)
+
+        ef, es = total(res_f), total(res_s)
+        assert ef <= es, (ef, es)
