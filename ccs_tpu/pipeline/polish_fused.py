@@ -77,12 +77,15 @@ def score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables,
 
 
 def mutation_valid_new(tpl, tlen):
-    """Validity mask of the 9-kind enumeration: [B, 9T+4] bool."""
+    """Validity mask of the 9-kind enumeration: [B, 9T+4] bool.
+
+    All-static index structure — the earlier take_along_axis formulation
+    lowered to a per-element gather that cost ~ms per polish iteration on
+    TPU; jnp.repeat with a static repeat count is a free reshape."""
     B, T = tpl.shape
     p = jnp.repeat(jnp.arange(T), KINDS)[None, :]
     k = jnp.tile(jnp.arange(KINDS), T)[None, :]
-    cur = jnp.take_along_axis(
-        tpl.astype(jnp.int32), jnp.broadcast_to(p, (B, KINDS * T)), axis=1)
+    cur = jnp.repeat(tpl.astype(jnp.int32), KINDS, axis=1)   # [B, 9T]
     tl = tlen[:, None]
     v = p < tl
     v &= jnp.where(k <= 3, k != cur, True)       # sub to self is a no-op
@@ -198,12 +201,19 @@ def apply_mutations(tpl, tlen, cs, ce, priority, sel, pkind, pre_sel,
     start = pre_applied[:, None].astype(jnp.int32) + jnp.cumsum(ec, -1) - ec
     newlen = (pre_applied.astype(jnp.int32) + ec.sum(-1)).astype(jnp.int32)
 
-    bidx = jnp.arange(B)[:, None]
-    out = jnp.full((B, T), -1, jnp.int8)
-    pos1 = jnp.where(emit1, start, T)
-    out = out.at[bidx, pos1].set(base1, mode="drop")
-    pos2 = jnp.where(emit2, start + 1, T)
-    out = out.at[bidx, pos2].set((pkind - 5).astype(jnp.int8), mode="drop")
+    # One-hot contractions instead of scatters: TPU lowers arbitrary-index
+    # scatter via sort (miliseconds per polish iteration at [B, T] shapes);
+    # the equivalent [B, T, T] masked reduction is a few MB of VPU work.
+    pos1 = jnp.where(emit1, start, -1)
+    pos2 = jnp.where(emit2, start + 1, -1)
+    tgt = jnp.arange(T)[None, None, :]                   # [1, 1, T]
+    oh1 = pos1[:, :, None] == tgt                        # [B, T, T]
+    oh2 = pos2[:, :, None] == tgt
+    val1 = (base1.astype(jnp.int32)[:, :, None] * oh1).sum(1)
+    val2 = ((pkind - 5)[:, :, None] * oh2).sum(1)
+    cov1 = oh1.any(1)
+    cov2 = oh2.any(1)
+    out = jnp.where(cov1, val1, jnp.where(cov2, val2, -1)).astype(jnp.int8)
     out = jnp.where(pre_applied[:, None] & (j == 0),
                     pre_base[:, None].astype(jnp.int8), out)
     out = jnp.where(j < newlen[:, None], out, jnp.int8(-1))
@@ -220,18 +230,16 @@ def apply_mutations(tpl, tlen, cs, ce, priority, sel, pkind, pre_sel,
     ncs = cs + d_cs
     nce = ce + d_ce
 
-    # priority remap: re-flag edited neighborhoods, carry through the scatter
+    # priority remap: re-flag edited neighborhoods, carried through the same
+    # one-hot contraction (scatter-free)
     if priority is not None:
         nbh = sel
         for off in (1, 2):
             nbh |= _shift_val(sel, off, False) | _shift_val(sel, -off, False)
         nbh |= pre_applied[:, None] & (j <= 2)
         pri = jnp.maximum(priority, jnp.where(nbh, 1.0, 0.0))
-        npri = jnp.zeros((B, T), jnp.float32)
-        npri = npri.at[bidx, pos1].set(jnp.where(emit1, pri, 0.0),
-                                       mode="drop")
-        npri = npri.at[bidx, pos2].set(jnp.where(emit2, 1.0, 0.0),
-                                       mode="drop")
+        npri = (jnp.where(emit1, pri, 0.0)[:, :, None] * oh1).sum(1) \
+            + (oh2.any(1)).astype(jnp.float32)
         npri = jnp.where(pre_applied[:, None] & (j == 0), 1.0, npri)
         npri = jnp.where(j < newlen[:, None], npri, 0.0)
     else:
@@ -363,7 +371,15 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
                 # the active count. Scatter the fresh scores back; rows not
                 # re-scored keep the lls of their (unchanged) template.
                 Bn = tpl2.shape[0]
-                idx = jnp.nonzero(improved, size=Bn, fill_value=Bn)[0]
+                # inv[i] = compacted slot of row i; idx[s] = source row of
+                # slot s. Both come from one cumsum + a 1-D int scatter —
+                # and results return via GATHER by inv (a row-scatter of
+                # [B, 9T+4] floats sort-lowers on TPU and dominated the
+                # loop; gathers don't).
+                inv = jnp.cumsum(improved.astype(jnp.int32)) - 1
+                slot = jnp.where(improved, inv, Bn)
+                idx = jnp.full(Bn, Bn, jnp.int32).at[slot].set(
+                    jnp.arange(Bn, dtype=jnp.int32), mode="drop")
                 idc = jnp.minimum(idx, Bn - 1)
                 ok = idx < Bn
 
@@ -377,8 +393,10 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
 
                 lls_g, ll_g = score(g(tpl2), g(tlen2, 1), g(snr_b),
                                     g(reads_b, -1), g(rlens_b, -1))
-                lls2 = s.lls.at[idx].set(lls_g, mode="drop")
-                ll2 = s.ll.at[idx].set(ll_g, mode="drop")
+                invc = jnp.clip(inv, 0, Bn - 1)
+                lls2 = jnp.where(improved[:, None],
+                                 jnp.take(lls_g, invc, axis=0), s.lls)
+                ll2 = jnp.where(improved, jnp.take(ll_g, invc), s.ll)
             return FusedPolishState(
                 tpl=tpl2, tlen=tlen2,
                 core_start=jnp.where(improved, ncs, s.core_start),
