@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TINY = 1e-30
 LANE_BLOCK = 128
-N_SETS = 13  # mutated-context param sets: A_x(4) + B_x(4) + C_x(4) + D(1)
+N_SETS = 12  # mutated-context param sets: A_alt(3) + C_alt(4) + D(1) + B_alt(4)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,8 +97,9 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
     PWM/PWI [4,LB] pulse-width factors per pw bin (how-does-ccs-work.md:
     88-95), reads [C,R,LB] i32 PACKED codes base + 4*pw (chemistry.
     pack_read_pw; plain 0..3 codes are pw bin 0, factor 1),
-    rl [C,LB] -> lls [16,T+1,LB] (slot [k,p] = mutation
-    9p+k; [0:4,T] = prepends), ll0 [8,LB] (row 0).
+    rl [C,LB] -> lls [8,T+1,LB] (RELATIVE slots: [0:3,p] sub to
+    (cur+1..3)%4, [3,p] del, [4:8,p] ins (cur+0..3)%4 after p;
+    [0:4,T] = prepends, absolute), ll0 [8,LB] (row 0).
     """
     LB = tpl_ref.shape[-1]
     # per-block dynamic trip counts (SMEM scalars): Tm = max tlen in the
@@ -146,24 +147,28 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
         dpx_ref[:] = jnp.concatenate([jnp.ones((1, LB), jnp.float32), pdp],
                                      axis=0)
 
-        # ---- mutated-context param planes (13 sets x {me4, ie4, dp}) ----
-        # g-ordering matches the stacked bridge: 0..3: A_x = P(prev_eff, x)
-        # (sub first stage); 4..7: C_x = P(cur, x) (ins first stage);
-        # 8: D = P(prev_eff_del, next) (del); 9..12: B_x = P(x, next)
+        # ---- mutated-context param planes (12 sets x {me4, ie4, dp}) ----
+        # RELATIVE-base enumeration: the substitution "to the current base"
+        # is a no-op, so the kernel scores only alt_i = (cur + i) % 4.
+        # Pairing sub_i with ins_i shares each second-stage B set.
+        # g-ordering: 0..2: A_i = P(prev_eff, alt_i), i=1..3 (sub first
+        # stage); 3..6: C_i = P(cur, alt_i), i=0..3 (ins first stage);
+        # 7: D = P(prev_eff_del, next) (del); 8..11: B_i = P(alt_i, next)
         # (shared second stage).
         ctxs = []
-        for x in range(4):
-            pa = jnp.where(jrow == 0, x, prev)
-            ctxs.append(4 * pa + x)
-        for x in range(4):
-            ctxs.append(4 * tpl + x)
+        alts = [(tpl + i) % 4 for i in range(4)]
+        for i in range(1, 4):
+            pa = jnp.where(jrow == 0, alts[i], prev)
+            ctxs.append(4 * pa + alts[i])
+        for i in range(4):
+            ctxs.append(4 * tpl + alts[i])
         pd = jnp.where(jrow == 0, jnp.clip(nxt, 0, 3), prev)
         ctxs.append(4 * pd + jnp.clip(nxt, 0, 3))
-        for x in range(4):
-            ctxs.append(4 * x + jnp.clip(nxt, 0, 3))
+        for i in range(4):
+            ctxs.append(4 * alts[i] + jnp.clip(nxt, 0, 3))
         for s in range(N_SETS):
-            # sets 8 (D) and 9..12 (B_x) are identity when there is no next base
-            masked = s >= 8
+            # sets 7 (D) and 8..11 (B_i) are identity when there is no next
+            masked = s >= 7
             mes = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
             ies = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
             dps = jnp.zeros((T, LB), jnp.float32)
@@ -297,37 +302,39 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
                     return jnp.sum(y3 * betaq, axis=0, keepdims=True)
 
                 subs, inss = [], []
-                for x in range(4):
-                    meA = meM_ref[x, :, pl.ds(p, 1)]       # [4, 1, LB]
-                    ieA = ieM_ref[x, :, pl.ds(p, 1)]
-                    dpA = dpM_ref[x, pl.ds(p, 1)]
-                    meC = meM_ref[4 + x, :, pl.ds(p, 1)]
-                    ieC = ieM_ref[4 + x, :, pl.ds(p, 1)]
-                    dpC = dpM_ref[4 + x, pl.ds(p, 1)]
-                    meB = meM_ref[9 + x, :, pl.ds(p, 1)]
-                    ieB = ieM_ref[9 + x, :, pl.ds(p, 1)]
-                    dpB = dpM_ref[9 + x, pl.ds(p, 1)]
+                for i in range(4):
+                    meB = meM_ref[8 + i, :, pl.ds(p, 1)]   # [4, 1, LB]
+                    ieB = ieM_ref[8 + i, :, pl.ds(p, 1)]
+                    dpB = dpM_ref[8 + i, pl.ds(p, 1)]
                     Bie_r = emis(ohdi_ref, ieB)
                     Bme_r = emis(ohdm_ref, meB)
-                    subs.append(two_ops(y_p, emis(ohdi_ref, ieA),
-                                        emis(ohdm_ref, meA), dpA,
-                                        Bie_r, Bme_r, dpB))
+                    if i >= 1:                             # sub to alt_i
+                        meA = meM_ref[i - 1, :, pl.ds(p, 1)]
+                        ieA = ieM_ref[i - 1, :, pl.ds(p, 1)]
+                        dpA = dpM_ref[i - 1, pl.ds(p, 1)]
+                        subs.append(two_ops(y_p, emis(ohdi_ref, ieA),
+                                            emis(ohdm_ref, meA), dpA,
+                                            Bie_r, Bme_r, dpB))
+                    meC = meM_ref[3 + i, :, pl.ds(p, 1)]   # ins alt_i
+                    ieC = ieM_ref[3 + i, :, pl.ds(p, 1)]
+                    dpC = dpM_ref[3 + i, pl.ds(p, 1)]
                     inss.append(two_ops(y_p1, emis(ohdi_ref, ieC),
                                         emis(ohdm_ref, meC), dpC,
                                         Bie_r, Bme_r, dpB))
-                meD = meM_ref[8, :, pl.ds(p, 1)]
-                ieD = ieM_ref[8, :, pl.ds(p, 1)]
-                dpD = dpM_ref[8, pl.ds(p, 1)]
+                meD = meM_ref[7, :, pl.ds(p, 1)]
+                ieD = ieM_ref[7, :, pl.ds(p, 1)]
+                dpD = dpM_ref[7, pl.ds(p, 1)]
                 v1d = _solve_fwd(y_p, emis(ohdi_ref, ieD))
                 y2d = dpD * v1d + emis(ohdm_ref, meD) * _shift_down(v1d, 1)
                 dot_del = jnp.sum(y2d * betaq, axis=0, keepdims=True)
 
+                # relative slot order: sub alt_1..3, del, ins alt_0..3
                 block = jnp.concatenate(subs + [dot_del] + inss, axis=0)
-                ls5 = jnp.broadcast_to(lsc_p + lsb_q, (5, LB))
-                ls4 = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
-                lsrow = jnp.concatenate([ls5, ls4], axis=0)
+                ls4a = jnp.broadcast_to(lsc_p + lsb_q, (4, LB))
+                ls4b = jnp.broadcast_to(lsc_p1 + lsb_q, (4, LB))
+                lsrow = jnp.concatenate([ls4a, ls4b], axis=0)
                 contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
-                lls_ref[0:9, pl.ds(p, 1)] = (lls_ref[0:9, pl.ds(p, 1)]
+                lls_ref[0:8, pl.ds(p, 1)] = (lls_ref[0:8, pl.ds(p, 1)]
                                              + contrib[:, None, :])
                 return 0
 
@@ -448,8 +455,8 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
             lane_spec((C, R)),        # reads
             lane_spec((C,)),          # rl
         ],
-        out_specs=(lane_spec((16, T + 1)), lane_spec((8,))),
-        out_shape=(jax.ShapeDtypeStruct((16, T + 1, Bp), jnp.float32),
+        out_specs=(lane_spec((8, T + 1)), lane_spec((8,))),
+        out_shape=(jax.ShapeDtypeStruct((8, T + 1, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((4, T + 1, LB), jnp.float32),       # mex
@@ -470,9 +477,24 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
         interpret=interpret,
     )(bounds, tpl_t, tlen_t, ME_t, IE_t, DP_t, PWM_t, PWI_t, reads_t, rl_t)
 
-    # reassemble [B, 9T+4]: slot [k, p] -> m = 9p + k; [0:4, T] = prepends
-    lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 16]
-    reg = lls3[:, :T, :9].reshape(B, 9 * T)
+    # reassemble [B, 9T+4]: kernel rows are RELATIVE (sub alt_1..3, del,
+    # ins alt_0..3 with alt_i = (cur + i) % 4); remap to the absolute-base
+    # slot convention m = 9p + k via one-hot selects (elementwise — no
+    # gathers). The self-substitution slot stays 0 and is masked invalid
+    # by the caller. [0:4, T] = prepends (absolute).
+    lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 8]
+    rel = lls3[:, :T, :8]                              # [B, T, 8]
+    cur = jnp.clip(tpl, 0, 3).astype(jnp.int32)        # [B, T]
+    k4 = jnp.arange(4)[None, None, :]
+    d = (k4 - cur[..., None]) % 4                      # [B, T, 4]
+    subs_abs = jnp.zeros((B, T, 4), jnp.float32)
+    ins_abs = jnp.zeros((B, T, 4), jnp.float32)
+    for i in range(1, 4):
+        subs_abs = subs_abs + jnp.where(d == i, rel[:, :, i - 1:i], 0.0)
+    for i in range(4):
+        ins_abs = ins_abs + jnp.where(d == i, rel[:, :, 4 + i:5 + i], 0.0)
+    reg = jnp.concatenate([subs_abs, rel[:, :, 3:4], ins_abs],
+                          axis=-1).reshape(B, 9 * T)
     pre = lls3[:, T, :4]
     ll0 = ll0[0, :B]
     return jnp.concatenate([reg, pre], axis=1), ll0

@@ -179,8 +179,12 @@ def _try_backbone(subreads, full_length, backbone_i: int,
     # infer_orientation)
     from ccs_tpu.ops.align import orient_chain_batch
     others = [i for i in range(n) if i != backbone_i]
+    # k=11 for orientation: both sequences here are RAW subreads, so 13-mer
+    # survival is ~(1-2e)^13 — at ~14% per-base error that is ~4 expected
+    # anchors per 300 bp and misorientation becomes likely; 11-mers triple
+    # the anchor count while 4^11 still dwarfs any insert's k-mer set
     ostr, _chains = orient_chain_batch([subreads[i] for i in others],
-                                       backbone)
+                                       backbone, k=11)
     strands = [0] * n
     oriented = list(subreads)
     for i, s in zip(others, ostr):
@@ -223,6 +227,22 @@ def _try_backbone(subreads, full_length, backbone_i: int,
             if aln is not None:
                 idents[i] = aln.identity()
             mapped_all.append(ok)
+    # orientation rescue: a misoriented read (sparse anchor chains on noisy
+    # backbones make the orientation vote flip a coin) maps terribly against
+    # the final draft; if its reverse complement clears the gate, flip it
+    # back in — each rescued pass is real polishing evidence (ec semantics,
+    # accuracy-vs-passes.md:15-29)
+    for i in range(n):
+        if mapped_all[i]:
+            continue
+        rc = dna.revcomp(oriented[i])
+        aln = guided_align(rc, tpl, sub_cost=6, gap_cost=2, gap_open=2)
+        if aln is not None and aln.identity() >= min_identity and \
+                aln.identity() > idents[i]:
+            strands[i] ^= 1
+            oriented[i] = rc
+            idents[i] = aln.identity()
+            mapped_all[i] = True
     m = np.asarray(mapped_all, bool)
     mean_ident = float(idents[m].mean()) if m.any() else 0.0
     return (DraftResult(tpl, strands, mapped_all, sum(mapped_all)),
