@@ -72,8 +72,8 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
         out_mapped = np.zeros(len(aligned_reads), dtype=np.uint8)
         out_ident = np.zeros(len(aligned_reads), dtype=np.float64)
         out_weak = np.ones(1, dtype=np.float64)
-        # band 24: measured identical draft accuracy to 48 at SNR 8 x 10
-        # passes (47.5 err/kb both) and ~1.4x faster — anchors keep the DP
+        # band 24 default: measured identical draft accuracy to 48 at
+        # SNR 8 x 10 passes and ~1.4x faster — anchors keep the DP
         # centered, and guided_affine retries at 2x band on escape
         n_mapped = lib.ccs_pileup_draft(
             tpl_c.ctypes.data_as(ctypes.c_void_p), T,
@@ -195,16 +195,17 @@ def _try_backbone(subreads, full_length, backbone_i: int,
     # draft votes from up to max_draft_coverage subreads (backbone included).
     # Early cascade rounds ("very fast and unstable",
     # accuracy-vs-passes.md:41-46) vote from a small subset — their only job
-    # is a cleaner template for the final round's alignments, and ~8 reads
-    # already put draft accuracy in the high-90s; the FINAL round votes (and
-    # maps) with the full set.
+    # is a cleaner template for the final round's alignments, and 6 reads
+    # already put draft accuracy in the high-90s (measured: round-1 votes
+    # of 6 vs 8 are within noise at SNR 8 x 10 passes); the FINAL round
+    # votes (and maps) with the full set.
     vote_idx = list(range(n))[:max_draft_coverage]
     tpl = backbone
     mapped_last = [True] * n
     idents = np.zeros(n)
     weak = 1.0
     for r in range(rounds):
-        ridx = vote_idx if r == rounds - 1 else vote_idx[:8]
+        ridx = vote_idx if r == rounds - 1 else vote_idx[:6]
         # early rounds are "fast and unstable" by design: a narrower band
         # suffices because their draft only seeds the final round
         draft, mapped, idents_v, weak = _pileup_consensus(
