@@ -105,6 +105,7 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # draft, cap, len
                 ctypes.c_void_p, ctypes.c_void_p,  # out_mapped, out_ident
                 ctypes.c_void_p,                   # out_weak
+                ctypes.c_void_p,                   # out_stats [cap,3] f32 or NULL
             ]
             fi = _LIB.ccs_guided_identity
             fi.restype = ctypes.c_double

@@ -639,7 +639,7 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
                          double min_identity,
                          int8_t* out_draft, int64_t out_cap, int64_t* out_len,
                          uint8_t* out_mapped, double* out_ident,
-                         double* out_weak) {
+                         double* out_weak, float* out_stats) {
     std::vector<double> sub_votes(size_t(T) * 4, 0.0);
     std::vector<double> del_votes(size_t(T), 0.0), cov(size_t(T), 0.0);
     // insertion variants per junction: (sequence, count), first-inserted
@@ -715,10 +715,27 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
         *out_weak = T > 0 ? double(weak) / double(T) : 1.0;
     }
 
-    // emit weighted-majority consensus (exact Python semantics)
+    // emit weighted-majority consensus (exact Python semantics). When
+    // out_stats != nullptr, also record per EMITTED draft position the
+    // pileup evidence the candidate filter (C7, performance.md:90-93)
+    // needs: [cov, agree, indel] where agree = votes for the emitted base
+    // and indel = deletion votes here + total insertion vote mass at the
+    // flanking junctions (evidence of a possibly-missing base nearby).
+    auto ins_mass = [&](int64_t j) -> double {
+        auto it = ins_votes.find(j);
+        if (it == ins_votes.end()) return 0.0;
+        double m = 0.0;
+        for (const auto& e : it->second) m += double(e.second);
+        return m;
+    };
     int64_t n = 0;
-    auto emit = [&](int8_t b) -> bool {
+    auto emit = [&](int8_t b, double cv, double agree, double indel) -> bool {
         if (n >= out_cap) return false;
+        if (out_stats != nullptr) {
+            out_stats[3 * n + 0] = float(cv);
+            out_stats[3 * n + 1] = float(agree);
+            out_stats[3 * n + 2] = float(indel);
+        }
         out_draft[n++] = b;
         return true;
     };
@@ -732,7 +749,9 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
             const double gate = (covj > 1.0 ? covj : 1.0) / 2.0;
             if (double(best->second) > gate)
                 for (char c : best->first)
-                    if (!emit(int8_t(c))) return -2;
+                    if (!emit(int8_t(c), covj, double(best->second),
+                              covj - double(best->second)))
+                        return -2;
         }
         if (j == T) break;
         // best base: argmax over 4 (first max wins, like np.argmax)
@@ -741,10 +760,11 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
         for (int64_t b = 1; b < 4; ++b)
             if (sub_votes[j * 4 + b] > bc) { bc = sub_votes[j * 4 + b]; bb = b; }
         if (del_votes[j] > bc) continue;
+        const double indel = del_votes[j] + ins_mass(j) + ins_mass(j + 1);
         if (cov[j] > 0.0) {
-            if (!emit(int8_t(bb))) return -2;
+            if (!emit(int8_t(bb), cov[j], bc, indel)) return -2;
         } else {
-            if (!emit(tpl[j])) return -2;
+            if (!emit(tpl[j], 0.0, 0.0, indel)) return -2;
         }
     }
     *out_len = n;

@@ -30,6 +30,10 @@ class DraftResult:
     strands: list[int]               # per-subread inferred strand (0 fwd / 1 rev)
     mapped: list[bool]               # per-subread: aligned to backbone/draft?
     n_mapped: int = 0
+    # per-draft-position pileup evidence [len(draft), 3] f32 (cov, agree,
+    # indel) from the FINAL vote round — the candidate filter's input (C7,
+    # /root/reference/docs/faq/performance.md:90-93)
+    pos_stats: Optional[np.ndarray] = None
 
 
 def infer_orientation(read: np.ndarray, backbone: np.ndarray,
@@ -41,19 +45,23 @@ def infer_orientation(read: np.ndarray, backbone: np.ndarray,
 
 
 def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
-                      min_identity: float = 0.60, band: int = 24
+                      min_identity: float = 0.60, band: int = 24,
+                      want_stats: bool = False
                       ) -> tuple[Optional[np.ndarray], list[bool],
-                                 np.ndarray, float]:
+                                 np.ndarray, float, Optional[np.ndarray]]:
     """Align reads to tpl, vote, and emit the weighted-majority sequence.
 
-    Returns (draft, mapped, identities, weak_frac): identities are per-read
-    global alignment identities (0 where unaligned); weak_frac is the
-    fraction of template positions whose pileup majority fails to clear
+    Returns (draft, mapped, identities, weak_frac, stats): identities are
+    per-read global alignment identities (0 where unaligned); weak_frac is
+    the fraction of template positions whose pileup majority fails to clear
     half the local coverage — a chimeric backbone scatters votes over its
-    junk half, so the cascade uses this to reject it. Dispatches to the native C++ kernel
-    (ccs_pileup_draft: anchor chain + affine DP + vote walk + consensus
-    emit in one call — the round-2 host bottleneck was this loop in
-    Python); the code below is the oracle/fallback (CCS_TPU_NO_NATIVE=1)."""
+    junk half, so the cascade uses this to reject it. ``stats`` (only when
+    ``want_stats``) is [len(draft), 3] f32 (cov, agree, indel) per emitted
+    position — the candidate filter's evidence (C7). Dispatches to the
+    native C++ kernel (ccs_pileup_draft: anchor chain + affine DP + vote
+    walk + consensus emit in one call — the round-2 host bottleneck was
+    this loop in Python); the code below is the oracle/fallback
+    (CCS_TPU_NO_NATIVE=1)."""
     from ccs_tpu import native
     lib = native.load()
     if lib is not None and hasattr(lib, "ccs_pileup_draft") and len(tpl):
@@ -72,6 +80,7 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
         out_mapped = np.zeros(len(aligned_reads), dtype=np.uint8)
         out_ident = np.zeros(len(aligned_reads), dtype=np.float64)
         out_weak = np.ones(1, dtype=np.float64)
+        stats = np.zeros((cap, 3), dtype=np.float32) if want_stats else None
         # band 24 default: measured identical draft accuracy to 48 at
         # SNR 8 x 10 passes and ~1.4x faster — anchors keep the DP
         # centered, and guided_affine retries at 2x band on escape
@@ -84,13 +93,16 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
             out_len.ctypes.data_as(ctypes.c_void_p),
             out_mapped.ctypes.data_as(ctypes.c_void_p),
             out_ident.ctypes.data_as(ctypes.c_void_p),
-            out_weak.ctypes.data_as(ctypes.c_void_p))
+            out_weak.ctypes.data_as(ctypes.c_void_p),
+            stats.ctypes.data_as(ctypes.c_void_p) if stats is not None
+            else None)
         if n_mapped >= 0:  # -2 = buffer overflow -> fall through to NumPy
             mapped = [bool(m) for m in out_mapped]
             if n_mapped == 0:
-                return None, mapped, out_ident, 1.0
-            return (out[:int(out_len[0])].copy(), mapped, out_ident,
-                    float(out_weak[0]))
+                return None, mapped, out_ident, 1.0, None
+            nl = int(out_len[0])
+            return (out[:nl].copy(), mapped, out_ident, float(out_weak[0]),
+                    stats[:nl].copy() if stats is not None else None)
     T = len(tpl)
     sub_votes = np.zeros((T, 4), dtype=np.float64)
     del_votes = np.zeros(T, dtype=np.float64)
@@ -137,31 +149,45 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
         if pending_ins:
             ins_votes[j][tuple(pending_ins)] += 1
     if n_mapped == 0:
-        return None, mapped, idents, 1.0
+        return None, mapped, idents, 1.0, None
 
     out: list[int] = []
+    st: list[tuple] = []
     half = np.maximum(cov / 2.0, 0.5)
     best_base = np.argmax(sub_votes, axis=1)
     best_count = sub_votes[np.arange(T), best_base]
     weak_frac = float(((cov <= 0) | (2.0 * best_count <= cov)).mean()) \
         if T else 1.0
+
+    def ins_mass(j):
+        return float(sum(ins_votes[j].values())) if 0 <= j <= T else 0.0
+
     for j in range(T):
         # insertions before position j kept if a single variant clears half cov
         if ins_votes[j]:
             seq, cnt = ins_votes[j].most_common(1)[0]
-            if cnt > max(cov[j] if j < T else cov[-1], 1) / 2.0:
+            covj = cov[j] if j < T else cov[-1]
+            if cnt > max(covj, 1) / 2.0:
                 out.extend(seq)
+                st.extend([(covj, cnt, covj - cnt)] * len(seq))
         if del_votes[j] > best_count[j]:
             continue  # deleted
+        indel = del_votes[j] + ins_mass(j) + ins_mass(j + 1)
         if cov[j] > 0:
             out.append(int(best_base[j]))
+            st.append((cov[j], best_count[j], indel))
         else:
             out.append(int(tpl[j]))  # uncovered: keep backbone base
+            st.append((0.0, 0.0, indel))
     if ins_votes[T]:
         seq, cnt = ins_votes[T].most_common(1)[0]
-        if cnt > max(cov[-1] if T else 1, 1) / 2.0:
+        covj = cov[-1] if T else 1
+        if cnt > max(covj, 1) / 2.0:
             out.extend(seq)
-    return np.asarray(out, dtype=np.int8), mapped, idents, weak_frac
+            st.extend([(covj, cnt, covj - cnt)] * len(seq))
+    stats = (np.asarray(st, dtype=np.float32).reshape(-1, 3)
+             if want_stats else None)
+    return np.asarray(out, dtype=np.int8), mapped, idents, weak_frac, stats
 
 
 def _try_backbone(subreads, full_length, backbone_i: int,
@@ -204,19 +230,22 @@ def _try_backbone(subreads, full_length, backbone_i: int,
     mapped_last = [True] * n
     idents = np.zeros(n)
     weak = 1.0
+    pos_stats = None
     for r in range(rounds):
         ridx = vote_idx if r == rounds - 1 else vote_idx[:6]
+        final = r == rounds - 1
         # early rounds are "fast and unstable" by design: a narrower band
         # suffices because their draft only seeds the final round
-        draft, mapped, idents_v, weak = _pileup_consensus(
+        draft, mapped, idents_v, weak, stats = _pileup_consensus(
             tpl, [oriented[i] for i in ridx], min_identity=min_identity,
-            band=16 if r < rounds - 1 else 24)
+            band=16 if not final else 24, want_stats=final)
         if draft is None or len(draft) == 0:
             return DraftResult(None, strands, [False] * n, 0), 0.0, 1.0
         tpl = draft
-        if r == rounds - 1:
+        if final:
             mapped_last = mapped
             idents[:len(idents_v)] = idents_v
+            pos_stats = stats
     # final mapped flags for ALL subreads vs the final draft
     mapped_all = []
     for i in range(n):
@@ -246,7 +275,8 @@ def _try_backbone(subreads, full_length, backbone_i: int,
             mapped_all[i] = True
     m = np.asarray(mapped_all, bool)
     mean_ident = float(idents[m].mean()) if m.any() else 0.0
-    return (DraftResult(tpl, strands, mapped_all, sum(mapped_all)),
+    return (DraftResult(tpl, strands, mapped_all, sum(mapped_all),
+                        pos_stats=pos_stats),
             mean_ident, weak)
 
 

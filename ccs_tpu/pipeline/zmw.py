@@ -360,13 +360,19 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
             bins = params.pw_bin(pw).astype(np.int8)
             polish_reads.append(pack_read_pw(rd, bins))
 
-    # 4. windows + slices
+    # 4. windows + slices. Candidate priorities (C7) come from the draft
+    # pileup's real per-position vote evidence when available; the
+    # rpos-interpolation heuristic is only the fallback.
+    pri_draft = None
+    if dr.pos_stats is not None and len(dr.pos_stats) == len(draft):
+        from ccs_tpu.pipeline.windows import candidate_priority_from_stats
+        pri_draft = candidate_priority_from_stats(draft, dr.pos_stats)
     batch = build_window_batch(
         draft, rpos_list, polish_reads, [s.full_length for s in subs],
         t_cap=cfg.tpu_window_tpl_cap, r_cap=cfg.tpu_window_read_cap,
         c_cap=cfg.tpu_window_coverage_cap,
         size=cfg.window_size, overlap=cfg.window_overlap,
-        max_insertion_size=cfg.max_insertion_size)
+        max_insertion_size=cfg.max_insertion_size, pri_draft=pri_draft)
     if len(batch.windows) == 0:
         return fail(ZmwStatus.DRAFT_FAILURE)
 
