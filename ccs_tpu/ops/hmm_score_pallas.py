@@ -84,6 +84,22 @@ def _solve_bwd(y, a, axis: int = 0):
     return x
 
 
+def _solve_fwd_T(u, a, axis: int = 0):
+    """EXACT transpose of ``_solve_fwd(., a)``: returns M^T u where
+    M y = _solve_fwd(y, a). With M = (I + C4 S4)(I + C2 S2)(I + C1 S1)
+    (S_d = shift-down-by-d, C_d = the doubled carries), the transpose
+    applies the adjoint stages in reverse: x += shift_up(c_d * x, d) for
+    d = 4, 2, 1. Lets the sparse bridge share one B-stage backward solve
+    across the sub/ins mutation pair of each alt base (y3 . beta ==
+    y2 . M_B^T u_B), replacing two forward solves per mutation with one."""
+    c1 = a
+    c2 = c1 * _shift_down(c1, 1, axis)
+    c4 = c2 * _shift_down(c2, 2, axis)
+    x = u + _shift_up(c4 * u, 4, axis)
+    x = x + _shift_up(c2 * x, 2, axis)
+    return x + _shift_up(c1 * x, 1, axis)
+
+
 def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
                   PWM_ref, PWI_ref, reads_ref,
                   rl_ref, lls_ref, ll0_ref,
@@ -483,18 +499,481 @@ def score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
     # gathers). The self-substitution slot stays 0 and is masked invalid
     # by the caller. [0:4, T] = prepends (absolute).
     lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 8]
-    rel = lls3[:, :T, :8]                              # [B, T, 8]
-    cur = jnp.clip(tpl, 0, 3).astype(jnp.int32)        # [B, T]
+    reg = _rel_to_abs(lls3, tpl, T)
+    pre = lls3[:, T, :4]
+    ll0 = ll0[0, :B]
+    return jnp.concatenate([reg, pre], axis=1), ll0
+
+
+# ---------------------------------------------------------------------------
+# candidate-sparse scorer (C7 in-kernel): bridge only flagged positions
+# ---------------------------------------------------------------------------
+
+SLOT_SENTINEL = 127  # > any valid template position (T <= 64 in production)
+
+
+def _rel_to_abs(lls3, tpl, T: int):
+    """Remap kernel-relative mutation rows (sub alt_1..3, del, ins alt_0..3)
+    to the absolute-base m = 9p + k slot convention via one-hot selects.
+    lls3 [B, T, 8] -> [B, 9T]."""
+    B = lls3.shape[0]
+    rel = lls3[:, :T, :8]
+    cur = jnp.clip(tpl, 0, 3).astype(jnp.int32)
     k4 = jnp.arange(4)[None, None, :]
-    d = (k4 - cur[..., None]) % 4                      # [B, T, 4]
+    d = (k4 - cur[..., None]) % 4
     subs_abs = jnp.zeros((B, T, 4), jnp.float32)
     ins_abs = jnp.zeros((B, T, 4), jnp.float32)
     for i in range(1, 4):
         subs_abs = subs_abs + jnp.where(d == i, rel[:, :, i - 1:i], 0.0)
     for i in range(4):
         ins_abs = ins_abs + jnp.where(d == i, rel[:, :, 4 + i:5 + i], 0.0)
-    reg = jnp.concatenate([subs_abs, rel[:, :, 3:4], ins_abs],
-                          axis=-1).reshape(B, 9 * T)
-    pre = lls3[:, T, :4]
+    return jnp.concatenate([subs_abs, rel[:, :, 3:4], ins_abs],
+                           axis=-1).reshape(B, 9 * T)
+
+
+def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
+                   ME_ref, IE_ref, DP_ref, PWM_ref, PWI_ref, reads_ref,
+                   rl_ref, lls_ref, ll0_ref,
+                   mex_ref, iex_ref, dpx_ref, meM_ref, ieM_ref, dpM_ref,
+                   tplC_ref, prevC_ref, nxtC_ref,
+                   ycols_ref, lsf_ref, betas_ref, lsb_ref,
+                   ohdm_ref, ohdi_ref, ohum_ref, ohui_ref,
+                   *, T: int, C: int, R: int, S: int, KP: int):
+    """Candidate-sparse variant of ``_score_kernel`` (C7 — the documented
+    >=2x from skipping unambiguous positions, performance.md:90-93, now IN
+    the kernel rather than a post-hoc selection mask).
+
+    ``slot_ref`` [KP, LB] i32 holds each lane's candidate positions,
+    compacted to the front (SLOT_SENTINEL pads). The forward/backward
+    column sweeps still cover the whole template (they are 12% of the
+    dense cost and ll0/QV need them exact); only the per-position mutation
+    BRIDGE — 88% of the dense kernel — runs per candidate slot:
+
+    - the fwd loop stores its intermediate y_j (the bridge's y_p is
+      exactly the fwd recurrence's pre-solve vector, so nothing is
+      rebuilt);
+    - per slot, y_p / y_{p+1} / beta_q and the three log-scales are
+      gathered with [1,LB]-mask selects over a fori sweep (~130 [S,LB]
+      vector ops vs ~580 for one bridged position);
+    - mutated-context parameter planes are built COMPACTED ([sets, KP]
+      instead of [sets, T]) from slot-gathered tpl/prev/next codes;
+    - each alt base's B-stage (shared by its sub/ins pair) is solved ONCE
+      backward via the exact transpose (_solve_fwd_T), replacing two
+      forward solves per mutation with one.
+
+    Per-block trip bound Km (bounds col 2) = max candidate count, so
+    (cov, n_cand, tlen)-sorted chunks pay for the candidates they have.
+    Outputs are compacted: lls [8, KP+1, LB] with slot k's scores at
+    column k (relative-base rows) and the 4 prepends at column KP; the
+    XLA wrapper scatters them back with a one-hot einsum (no gathers).
+    """
+    LB = tpl_ref.shape[-1]
+    blk = pl.program_id(0)
+    Tm = bounds_ref[blk, 0]
+    Cm = bounds_ref[blk, 1]
+    Km = bounds_ref[blk, 2]
+    lls_ref[:] = jnp.zeros_like(lls_ref)
+    ll0_ref[:] = jnp.zeros_like(ll0_ref)
+
+    @pl.when(Cm > 0)
+    def _block_body():
+        tpl = tpl_ref[:]                                   # [T, LB]
+        tl = tlen_ref[:]                                   # [1, LB]
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (T, LB), 0)
+        in_tpl = (jrow < tl).astype(jnp.float32)
+        prev = jnp.where(jrow == 0, tpl, pltpu.roll(tpl, 1, axis=0))
+
+        # ---- original positional params (identity-padded; fwd/bwd) ----
+        ctx0 = 4 * prev + tpl
+        pme = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+        pie = [jnp.zeros((T, LB), jnp.float32) for _ in range(4)]
+        pdp = jnp.zeros((T, LB), jnp.float32)
+        for k in range(16):
+            mk = (ctx0 == k).astype(jnp.float32) * in_tpl
+            for x in range(4):
+                pme[x] = pme[x] + mk * ME_ref[k, x:x + 1]
+                pie[x] = pie[x] + mk * IE_ref[k, x:x + 1]
+            pdp = pdp + mk * DP_ref[k:k + 1]
+        pdp = pdp + (1.0 - in_tpl)
+        z1 = jnp.zeros((1, LB), jnp.float32)
+        for x in range(4):
+            mex_ref[x] = jnp.concatenate([z1, pme[x]], axis=0)
+            iex_ref[x] = jnp.concatenate([pie[x], z1], axis=0)
+        dpx_ref[:] = jnp.concatenate([jnp.ones((1, LB), jnp.float32), pdp],
+                                     axis=0)
+
+        # ---- slot-gather the template codes the mutated contexts need ----
+        # prev/next come from clipped-index reads of tpl itself: at p=0 the
+        # clipped p-1 read returns tpl[0], which IS the dense prev rule
+        # (prev = tpl at row 0); the p+1 read at the template end is masked
+        # by has_next exactly as the dense kernel masks its rolled row.
+        slot = slot_ref[:]                                 # [KP, LB] i32
+        tplC_ref[:] = jnp.zeros_like(tplC_ref)
+        prevC_ref[:] = jnp.zeros_like(prevC_ref)
+        nxtC_ref[:] = jnp.zeros_like(nxtC_ref)
+
+        def gslot(p, _):
+            mp = slot == p                                 # [KP, LB]
+            tplC_ref[:] = jnp.where(mp, tpl_ref[pl.ds(p, 1)], tplC_ref[:])
+            pm1 = jnp.maximum(p - 1, 0)
+            prevC_ref[:] = jnp.where(mp, tpl_ref[pl.ds(pm1, 1)],
+                                     prevC_ref[:])
+            pp1 = jnp.minimum(p + 1, T - 1)
+            nxtC_ref[:] = jnp.where(mp, tpl_ref[pl.ds(pp1, 1)], nxtC_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, Tm, gslot, 0)
+
+        # ---- mutated-context param planes, COMPACTED [sets, ., KP, LB] ----
+        tplc = tplC_ref[:]
+        prevc = prevC_ref[:]
+        nxtc = jnp.clip(nxtC_ref[:], 0, 3)
+        hnc = ((slot + 1) < tl).astype(jnp.float32)        # [KP, LB]
+        p0C = slot == 0                                    # per-slot "pos 0"
+        ctxs = []
+        alts = [(tplc + i) % 4 for i in range(4)]
+        for i in range(1, 4):
+            pa = jnp.where(p0C, alts[i], prevc)
+            ctxs.append(4 * pa + alts[i])
+        for i in range(4):
+            ctxs.append(4 * tplc + alts[i])
+        pd = jnp.where(p0C, nxtc, prevc)
+        ctxs.append(4 * pd + nxtc)
+        for i in range(4):
+            ctxs.append(4 * alts[i] + nxtc)
+        for s in range(N_SETS):
+            masked = s >= 7
+            mes = [jnp.zeros((KP, LB), jnp.float32) for _ in range(4)]
+            ies = [jnp.zeros((KP, LB), jnp.float32) for _ in range(4)]
+            dps = jnp.zeros((KP, LB), jnp.float32)
+            for k in range(16):
+                mk = (ctxs[s] == k).astype(jnp.float32)
+                if masked:
+                    mk = mk * hnc
+                for x in range(4):
+                    mes[x] = mes[x] + mk * ME_ref[k, x:x + 1]
+                    ies[x] = ies[x] + mk * IE_ref[k, x:x + 1]
+                dps = dps + mk * DP_ref[k:k + 1]
+            if masked:
+                dps = dps + (1.0 - hnc)
+            for x in range(4):
+                meM_ref[s, x] = mes[x]
+                ieM_ref[s, x] = ies[x]
+            dpM_ref[s] = dps
+
+        irow = jax.lax.broadcasted_iota(jnp.int32, (S, LB), 0)
+        e0 = (irow == 0).astype(jnp.float32)
+        t0 = tpl[0:1]
+
+        def emis(oh_ref, vec4):
+            r = oh_ref[0] * vec4[0]
+            for x in range(1, 4):
+                r = r + oh_ref[x] * vec4[x]
+            return r
+
+        def c_body(c, _):
+            rc = reads_ref[c]
+            rl_c = rl_ref[pl.ds(c, 1)]
+            live = (rl_c >= 0).astype(jnp.float32)
+            zpad = jnp.zeros((S - R - 1, LB), jnp.float32) if S - R - 1 else None
+            ok = (rc >= 0)
+            code = jnp.clip(rc, 0, 15)
+            base = code % 4
+            w = code // 4
+            fm = jnp.zeros((R, LB), jnp.float32)
+            fi = jnp.zeros((R, LB), jnp.float32)
+            for k in range(4):
+                wk = (w == k).astype(jnp.float32)
+                fm = fm + wk * PWM_ref[k:k + 1]
+                fi = fi + wk * PWI_ref[k:k + 1]
+
+            def cat(*parts):
+                return jnp.concatenate([p for p in parts if p is not None],
+                                       axis=0)
+
+            for x in range(4):
+                hx = ((base == x) & ok).astype(jnp.float32)
+                ohdm_ref[x] = cat(z1, hx * fm, zpad)
+                ohdi_ref[x] = cat(z1, hx * fi, zpad)
+                ohum_ref[x] = cat(hx * fm, zpad, z1)
+                ohui_ref[x] = cat(hx * fi, zpad, z1)
+
+            # ---- forward columns; store the pre-solve y_j per step ----
+            lsf_ref[0:1] = z1
+
+            def fwd(j, carry):
+                col, ls = carry
+                me4 = mex_ref[:, pl.ds(j, 1)]
+                ie4 = iex_ref[:, pl.ds(j, 1)]
+                dpj = dpx_ref[pl.ds(j, 1)]
+                me_r = emis(ohdm_ref, me4)
+                ie_r = emis(ohdi_ref, ie4)
+                y = dpj * col + me_r * _shift_down(col, 1)
+                ycols_ref[j] = y                     # the bridge's y_p
+                w = _solve_fwd(y, ie_r)
+                sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
+                col = w / sc
+                ls = ls + jnp.log(sc)
+                lsf_ref[pl.ds(j + 1, 1)] = ls
+                return col, ls
+
+            colT, lsT = jax.lax.fori_loop(0, Tm + 1, fwd, (e0, z1))
+            endm = (irow == rl_c).astype(jnp.float32)
+            final = jnp.sum(colT * endm, axis=0, keepdims=True)
+            ll0_ref[0:1] += live * (jnp.log(jnp.maximum(final, TINY)) + lsT)
+
+            # ---- backward sensitivities ----
+            betas_ref[Tm] = endm
+            lsb_ref[pl.ds(Tm, 1)] = z1
+
+            def bwd(it, carry):
+                beta, ls = carry
+                j = Tm - 1 - it
+                me4 = mex_ref[:, pl.ds(j + 1, 1)]
+                ie4 = iex_ref[:, pl.ds(j, 1)]
+                dpj = dpx_ref[pl.ds(j + 1, 1)]
+                me_rs = emis(ohum_ref, me4)
+                ie_rs = emis(ohui_ref, ie4)
+                u = dpj * beta + me_rs * _shift_up(beta, 1)
+                w = _solve_bwd(u, ie_rs)
+                sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
+                beta = w / sc
+                ls = ls + jnp.log(sc)
+                betas_ref[j] = beta
+                lsb_ref[pl.ds(j, 1)] = ls
+                return beta, ls
+
+            jax.lax.fori_loop(0, Tm, bwd, (endm, z1))
+
+            # ---- bridge candidate slots only ----
+            def bridge(kk, _):
+                p_row = slot_ref[pl.ds(kk, 1)]             # [1, LB] i32
+                q_row = jnp.minimum(p_row + 2, Tm)
+                zS = jnp.zeros((S, LB), jnp.float32)
+                init = (zS, zS, zS, z1, z1, z1)
+
+                def gth(p, carry):
+                    yp, yp1, bq, lsp, lsp1, lsq = carry
+                    mp = p_row == p                        # [1, LB]
+                    mq = q_row == p
+                    yp = jnp.where(mp, ycols_ref[p], yp)
+                    yp1 = jnp.where(mp, ycols_ref[p + 1], yp1)
+                    bq = jnp.where(mq, betas_ref[p], bq)
+                    lsp = jnp.where(mp, lsf_ref[pl.ds(p, 1)], lsp)
+                    lsp1 = jnp.where(mp, lsf_ref[pl.ds(p + 1, 1)], lsp1)
+                    lsq = jnp.where(mq, lsb_ref[pl.ds(p, 1)], lsq)
+                    return yp, yp1, bq, lsp, lsp1, lsq
+
+                yp, yp1, bq, lsp, lsp1, lsq = jax.lax.fori_loop(
+                    0, Tm + 1, gth, init)
+
+                subs, inss = [], []
+                for i in range(4):
+                    meB = meM_ref[8 + i, :, pl.ds(kk, 1)]  # [4, 1, LB]
+                    ieB = ieM_ref[8 + i, :, pl.ds(kk, 1)]
+                    dpB = dpM_ref[8 + i, pl.ds(kk, 1)]
+                    Bie_r = emis(ohdi_ref, ieB)
+                    Bme_r = emis(ohdm_ref, meB)
+                    # one backward B-stage shared by the sub/ins pair:
+                    # y3 . beta_q == y2 . M_B^T (dpB*beta + shift_up(meB*beta))
+                    uB = dpB * bq + _shift_up(Bme_r * bq, 1)
+                    wB = _solve_fwd_T(uB, Bie_r)
+                    if i >= 1:                             # sub to alt_i
+                        meA = meM_ref[i - 1, :, pl.ds(kk, 1)]
+                        ieA = ieM_ref[i - 1, :, pl.ds(kk, 1)]
+                        dpA = dpM_ref[i - 1, pl.ds(kk, 1)]
+                        v1 = _solve_fwd(yp, emis(ohdi_ref, ieA))
+                        y2 = dpA * v1 + emis(ohdm_ref, meA) * _shift_down(v1, 1)
+                        subs.append(jnp.sum(y2 * wB, axis=0, keepdims=True))
+                    meC = meM_ref[3 + i, :, pl.ds(kk, 1)]  # ins alt_i
+                    ieC = ieM_ref[3 + i, :, pl.ds(kk, 1)]
+                    dpC = dpM_ref[3 + i, pl.ds(kk, 1)]
+                    v1c = _solve_fwd(yp1, emis(ohdi_ref, ieC))
+                    y2c = dpC * v1c + emis(ohdm_ref, meC) * _shift_down(v1c, 1)
+                    inss.append(jnp.sum(y2c * wB, axis=0, keepdims=True))
+                meD = meM_ref[7, :, pl.ds(kk, 1)]
+                ieD = ieM_ref[7, :, pl.ds(kk, 1)]
+                dpD = dpM_ref[7, pl.ds(kk, 1)]
+                v1d = _solve_fwd(yp, emis(ohdi_ref, ieD))
+                y2d = dpD * v1d + emis(ohdm_ref, meD) * _shift_down(v1d, 1)
+                dot_del = jnp.sum(y2d * bq, axis=0, keepdims=True)
+
+                block = jnp.concatenate(subs + [dot_del] + inss, axis=0)
+                ls4a = jnp.broadcast_to(lsp + lsq, (4, LB))
+                ls4b = jnp.broadcast_to(lsp1 + lsq, (4, LB))
+                lsrow = jnp.concatenate([ls4a, ls4b], axis=0)
+                contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
+                lls_ref[0:8, pl.ds(kk, 1)] = (lls_ref[0:8, pl.ds(kk, 1)]
+                                              + contrib[:, None, :])
+                return 0
+
+            jax.lax.fori_loop(0, Km, bridge, 0)
+
+            # ---- prepends (always scored; selection needs them) ----
+            beta1 = betas_ref[1]
+            lsb_1 = lsb_ref[pl.ds(1, 1)]
+            pres = []
+            for x in range(4):
+                kxx = 5 * x
+                me_xx = ME_ref[kxx]
+                ie_xx = IE_ref[kxx]
+                dp_xx = DP_ref[kxx:kxx + 1]
+                me_x0 = jnp.zeros((4, LB), jnp.float32)
+                ie_x0 = jnp.zeros((4, LB), jnp.float32)
+                dp_x0 = jnp.zeros((1, LB), jnp.float32)
+                for b in range(4):
+                    mb = (t0 == b).astype(jnp.float32)
+                    me_x0 = me_x0 + mb * ME_ref[4 * x + b]
+                    ie_x0 = ie_x0 + mb * IE_ref[4 * x + b]
+                    dp_x0 = dp_x0 + mb * DP_ref[4 * x + b:4 * x + b + 1]
+                v1 = _solve_fwd(e0, emis(ohdi_ref, ie_xx[:, None]))
+                y2 = dp_xx * v1 + emis(ohdm_ref, me_xx[:, None]) * \
+                    _shift_down(v1, 1)
+                v2 = _solve_fwd(y2, emis(ohdi_ref, ie_x0[:, None]))
+                y3 = dp_x0 * v2 + emis(ohdm_ref, me_x0[:, None]) * \
+                    _shift_down(v2, 1)
+                pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
+            pre_block = jnp.concatenate(pres, axis=0)
+            pre_ls = jnp.broadcast_to(lsb_1, (4, LB))
+            pre_c = live * (jnp.log(jnp.maximum(pre_block, TINY)) + pre_ls)
+            lls_ref[0:4, pl.ds(KP, 1)] = (lls_ref[0:4, pl.ds(KP, 1)]
+                                          + pre_c[:, None, :])
+            return 0
+
+        jax.lax.fori_loop(0, Cm, c_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "lane_block"))
+def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
+                        interpret: bool = False,
+                        lane_block: int = LANE_BLOCK):
+    """Candidate-sparse mutation scores: exact ll0 + mutation LLs at the
+    flagged positions only (C7; performance.md:90-93).
+
+    cand [B, T] bool — positions to bridge. Returns (lls [B, 9T+4] with 0
+    at unbridged slots — caller masks them invalid, ll0 [B]). Bridged
+    values equal the dense kernel's up to fp reassociation (the B-stage
+    is solved via its exact transpose)."""
+    B, T = tpl.shape
+    _, C, R = reads.shape
+    S = _round_up(R + 1, 8)
+    KP = T
+
+    trans = tables["trans"][snr_bin]
+    em = tables["emit_match"][snr_bin]
+    es = tables["emit_stick"][snr_bin]
+    ME = trans[..., 0:1] * em
+    cur16 = jnp.arange(16) % 4
+    onehot = jax.nn.one_hot(cur16, 4, dtype=jnp.float32)
+    IE = trans[..., 1:2] * onehot[None] + trans[..., 2:3] * es
+    DP = trans[..., 3]
+
+    # slot map: per row, candidate positions compacted to the front
+    cand = cand & (jnp.arange(T)[None, :] < tlen[:, None])
+    rank = jnp.cumsum(cand.astype(jnp.int32), axis=1) - 1       # [B, T]
+    karange = jnp.arange(KP)[None, None, :]
+    oh = cand[:, :, None] & (rank[:, :, None] == karange)       # [B, T, KP]
+    pos = jnp.arange(T)[None, :, None]
+    slotmap = ((pos * oh).sum(1)
+               + SLOT_SENTINEL * (1 - oh.any(1).astype(jnp.int32)))
+    nc = cand.sum(1).astype(jnp.int32)                          # [B]
+
+    ME_t = jnp.transpose(ME, (1, 2, 0))
+    IE_t = jnp.transpose(IE, (1, 2, 0))
+    DP_t = DP.T
+    PWM_t = tables["pw_match"][snr_bin].T
+    PWI_t = tables["pw_ins"][snr_bin].T
+    tpl_t = jnp.clip(tpl, 0, 3).astype(jnp.int32).T
+    tlen_t = tlen.astype(jnp.int32)[None]
+    reads_t = jnp.transpose(reads, (1, 2, 0)).astype(jnp.int32)
+    rl_t = rlens.astype(jnp.int32).T
+    slot_t = slotmap.astype(jnp.int32).T                        # [KP, B]
+
+    LB = min(lane_block, _round_up(B, 128))
+    Bp = _round_up(B, LB)
+    if Bp != B:
+        pad = Bp - B
+        ME_t = jnp.pad(ME_t, ((0, 0), (0, 0), (0, pad)))
+        IE_t = jnp.pad(IE_t, ((0, 0), (0, 0), (0, pad)))
+        DP_t = jnp.pad(DP_t, ((0, 0), (0, pad)))
+        PWM_t = jnp.pad(PWM_t, ((0, 0), (0, pad)), constant_values=1.0)
+        PWI_t = jnp.pad(PWI_t, ((0, 0), (0, pad)), constant_values=1.0)
+        tpl_t = jnp.pad(tpl_t, ((0, 0), (0, pad)))
+        tlen_t = jnp.pad(tlen_t, ((0, 0), (0, pad)), constant_values=1)
+        reads_t = jnp.pad(reads_t, ((0, 0), (0, 0), (0, pad)),
+                          constant_values=-1)
+        rl_t = jnp.pad(rl_t, ((0, 0), (0, pad)), constant_values=-1)
+        slot_t = jnp.pad(slot_t, ((0, 0), (0, pad)),
+                         constant_values=SLOT_SENTINEL)
+        nc = jnp.pad(nc, (0, pad))
+
+    grid = (Bp // LB,)
+    tmax_blk = tlen_t[0].reshape(grid[0], LB).max(axis=1)
+    cov_blk = (rl_t >= 0).sum(axis=0).reshape(grid[0], LB).max(axis=1)
+    km_blk = nc.reshape(grid[0], LB).max(axis=1)
+    bounds = jnp.stack([jnp.maximum(tmax_blk, 1), cov_blk, km_blk],
+                       axis=1).astype(jnp.int32)
+
+    def lane_spec(leading):
+        n = len(leading)
+        return pl.BlockSpec((*leading, LB),
+                            lambda i, _n=n: (*(0,) * _n, i),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_sparse_kernel, T=T, C=C, R=R, S=S, KP=KP)
+    lls3, ll0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds [grid, 3]
+            lane_spec((T,)),          # tpl
+            lane_spec((1,)),          # tlen
+            lane_spec((KP,)),         # slotmap
+            lane_spec((16, 4)),       # ME
+            lane_spec((16, 4)),       # IE
+            lane_spec((16,)),         # DP
+            lane_spec((4,)),          # PWM
+            lane_spec((4,)),          # PWI
+            lane_spec((C, R)),        # reads
+            lane_spec((C,)),          # rl
+        ],
+        out_specs=(lane_spec((8, KP + 1)), lane_spec((8,))),
+        out_shape=(jax.ShapeDtypeStruct((8, KP + 1, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((4, T + 1, LB), jnp.float32),       # mex
+            pltpu.VMEM((4, T + 1, LB), jnp.float32),       # iex
+            pltpu.VMEM((T + 1, LB), jnp.float32),          # dpx
+            pltpu.VMEM((N_SETS, 4, KP, LB), jnp.float32),  # meM (compacted)
+            pltpu.VMEM((N_SETS, 4, KP, LB), jnp.float32),  # ieM
+            pltpu.VMEM((N_SETS, KP, LB), jnp.float32),     # dpM
+            pltpu.VMEM((KP, LB), jnp.int32),               # tplC
+            pltpu.VMEM((KP, LB), jnp.int32),               # prevC
+            pltpu.VMEM((KP, LB), jnp.int32),               # nxtC
+            pltpu.VMEM((T + 2, S, LB), jnp.float32),       # ycols
+            pltpu.VMEM((T + 2, LB), jnp.float32),          # lsf
+            pltpu.VMEM((T + 1, S, LB), jnp.float32),       # betas
+            pltpu.VMEM((T + 1, LB), jnp.float32),          # lsb
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohdm
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohdi
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohum
+            pltpu.VMEM((4, S, LB), jnp.float32),           # ohui
+        ],
+        interpret=interpret,
+    )(bounds, tpl_t, tlen_t, slot_t, ME_t, IE_t, DP_t, PWM_t, PWI_t,
+      reads_t, rl_t)
+
+    # scatter compacted slots back to positions with the SAME one-hot the
+    # slot map was built from (einsum — MXU-friendly, no gathers)
+    lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, KP+1, 8]
+    # precision="highest": the default matmul path downcasts to bf16-class
+    # accumulation, which quantizes log-likelihoods to ~1/16 — the one-hot
+    # contraction must be an exact selection
+    reg_rel = jnp.einsum("btk,bkm->btm", oh.astype(jnp.float32),
+                         lls3[:, :KP, :],
+                         precision="highest")          # [B, T, 8]
+    reg = _rel_to_abs(reg_rel, tpl, T)
+    pre = lls3[:, KP, :4]
     ll0 = ll0[0, :B]
     return jnp.concatenate([reg, pre], axis=1), ll0

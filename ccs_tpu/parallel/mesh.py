@@ -32,7 +32,8 @@ def make_zmw_mesh(n_devices: Optional[int] = None,
 
 def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
                        use_pallas: bool = False, thresh: float = 0.02,
-                       tail_bucket: int = 0, use_psum: bool = True):
+                       tail_bucket: int = 0, use_psum: bool = True,
+                       sparse: bool = False):
     """Sharded fused polish step over the ('zmw',) mesh — the PRODUCT path.
 
     Window batches shard on their leading axis across all mesh devices
@@ -55,7 +56,8 @@ def shard_fused_polish(mesh: Mesh, tables: dict, max_iters: int = 40,
         state, qv, _p_err = polish_windows_fused_impl(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, tables_arg,
             max_iters=max_iters, is_first=is_first, priority=priority,
-            use_pallas=use_pallas, thresh=thresh, tail_bucket=tail_bucket)
+            use_pallas=use_pallas, thresh=thresh, tail_bucket=tail_bucket,
+            sparse=sparse)
         live = (rlens >= 0).any(-1)
         n_conv = jnp.sum((~state.active & live).astype(jnp.int32))
         total_iters = jnp.sum(state.n_iter)

@@ -71,8 +71,9 @@ class CcsEngine:
         self.mesh = make_zmw_mesh(devices=devices)
         self.n_dev = len(devices)
         use_pallas = devices[0].platform == "tpu"
-        self._polish_step = shard_fused_polish(
-            self.mesh, self.tables,
+        import functools as _ft
+        _mk = _ft.partial(
+            shard_fused_polish, self.mesh, self.tables,
             max_iters=self.cfg.max_polish_iterations,
             use_pallas=use_pallas, thresh=self.cfg.tpu_polish_thresh,
             tail_bucket=self.cfg.tpu_tail_bucket,
@@ -80,6 +81,12 @@ class CcsEngine:
             # sum on the host instead — XLA:CPU aborts the process if the
             # shards of a long program reach the all-reduce >40 s apart
             use_psum=use_pallas)
+        # candidate-sparse step (C7: only flagged positions are bridged —
+        # the documented >=2x, performance.md:90-93) for default chunks;
+        # the dense step serves --disable-heuristics / tandem-repeat ZMWs.
+        # Both are lazy-compiled on first use.
+        self._polish_step = _mk(sparse=True)
+        self._polish_step_dense = _mk(sparse=False)
         self._dc_refine = None
         if self.cfg.tpu_dc_polish:
             import functools
@@ -226,17 +233,20 @@ class CcsEngine:
         cfg = self.cfg
         t_cap = cfg.tpu_window_tpl_cap
 
-        # rows: (item, window index, exhaustive?) grouped by coverage bucket
-        by_cb: dict[int, list[tuple[ZmwWorkItem, int, bool]]] = {}
+        # rows: (item, window index, n_cand) grouped by (coverage bucket,
+        # exhaustive?) — exhaustive chunks run the dense kernel program,
+        # default chunks the candidate-sparse one (C7)
+        by_cb: dict[tuple[int, bool], list[tuple[ZmwWorkItem, int, int]]] = {}
         stage: dict[int, dict] = {}
         for it in live:
             b = it.batch
             exhaustive = (cfg.disable_heuristics
                           or it.result.has_tandem_repeat)
             cb = self._c_bucket(int(b.reads.shape[1]))
-            rows = by_cb.setdefault(cb, [])
+            rows = by_cb.setdefault((cb, exhaustive), [])
+            ncand = (b.priority > 0).sum(axis=1)
             for w in range(len(b.windows)):
-                rows.append((it, w, exhaustive))
+                rows.append((it, w, int(ncand[w])))
             n = len(b.windows)
             stage[id(it)] = {
                 "tpl": np.full((n, t_cap), -1, np.int8),
@@ -253,13 +263,13 @@ class CcsEngine:
         # scatter. Depth 3 bounds device-resident output memory.
         from collections import deque
         pending: deque = deque()
-        for cb, rows in sorted(by_cb.items()):
+        for (cb, exhaustive), rows in sorted(by_cb.items()):
             pos = 0
             while pos < len(rows):
                 take = min(len(rows) - pos, self.w_buckets[-1])
                 chunk = rows[pos:pos + take]
                 pos += take
-                pending.append(self._submit_chunk(chunk, cb))
+                pending.append(self._submit_chunk(chunk, cb, exhaustive))
                 if len(pending) >= 3:
                     self._collect_chunk(pending.popleft(), stage)
         while pending:
@@ -279,7 +289,7 @@ class CcsEngine:
                 it.result.status = ZmwStatus.EXCEPTION_THROWN
         self.t_finalize += _time.monotonic() - _t0
 
-    def _submit_chunk(self, chunk, c_pad: int):
+    def _submit_chunk(self, chunk, c_pad: int, exhaustive: bool = False):
         """Build the padded bucket arrays and dispatch the polish step
         asynchronously; returns a handle for _collect_chunk."""
         cfg = self.cfg
@@ -297,14 +307,15 @@ class CcsEngine:
         is_first = np.zeros(W, dtype=bool)
         priority = np.zeros((W, t_cap), np.float32)
 
-        # sort rows by (coverage, template length): 128-lane kernel blocks
-        # get homogeneous per-block Cm/Tm trip bounds, so the tail of a
-        # mixed chunk doesn't drag every block to the chunk maxima.
-        # Deterministic (stable sort) and order-safe: _collect_chunk
-        # scatters back by the same list.
+        # sort rows by (coverage, candidate count, template length):
+        # 128-lane kernel blocks get homogeneous per-block Cm/Km/Tm trip
+        # bounds, so the tail of a mixed chunk doesn't drag every block to
+        # the chunk maxima. Deterministic (stable sort) and order-safe:
+        # _collect_chunk scatters back by the same list.
         chunk.sort(key=lambda row: (min(row[0].batch.reads.shape[1], c_pad),
+                                    row[2],
                                     int(row[0].batch.tlen[row[1]])))
-        for i, (it, w, exhaustive) in enumerate(chunk):
+        for i, (it, w, _nc) in enumerate(chunk):
             b = it.batch
             c = b.reads.shape[1]
             cc = min(c, c_pad)
@@ -321,7 +332,8 @@ class CcsEngine:
             else:
                 priority[i] = b.priority[w]
 
-        state, qv, stats = self._polish_step(
+        step = self._polish_step_dense if exhaustive else self._polish_step
+        state, qv, stats = step(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority)
         qv_rq = None
         if self._dc_refine is not None:
@@ -338,20 +350,23 @@ class CcsEngine:
         chunk, state, qv, qv_rq, stats = handle
         import time as _time
         _t0 = _time.monotonic()
-        s = np.asarray(stats)  # materializing blocks until the device is done
+        # ONE batched device_get: each individual np.asarray is a separate
+        # blocking round trip to the (possibly remote) device — measured
+        # ~18 ms each over the axon tunnel, 7 pulls = ~130 ms per chunk of
+        # pure latency; the batched tree pull streams them together
+        import jax as _jax
+        pulls = _jax.device_get(
+            (stats, state.tpl, state.tlen, state.core_start,
+             state.core_end, qv, state.active)
+            + ((qv_rq,) if qv_rq is not None else ()))
+        s, out_tpl, out_tlen, out_cs, out_ce, out_qv, nonconv = pulls[:7]
+        out_qv_rq = pulls[7] if qv_rq is not None else None
         if getattr(self._polish_step, "stats_sharded", False):
-            s = s.reshape(-1, 3).sum(axis=0)
-        out_tpl = np.asarray(state.tpl)
-        out_tlen = np.asarray(state.tlen)
-        out_cs = np.asarray(state.core_start)
-        out_ce = np.asarray(state.core_end)
-        out_qv = np.asarray(qv)
-        out_qv_rq = np.asarray(qv_rq) if qv_rq is not None else None
-        nonconv = np.asarray(state.active)
+            s = np.asarray(s).reshape(-1, 3).sum(axis=0)
         self.t_device += _time.monotonic() - _t0
         self.polish_stats += s  # [n_converged, total_iters, yield_bases]
 
-        for i, (it, w, _ex) in enumerate(chunk):
+        for i, (it, w, _nc) in enumerate(chunk):
             st = stage[id(it)]
             st["tpl"][w] = out_tpl[i]
             st["tlen"][w] = out_tlen[i]

@@ -40,6 +40,24 @@ import jax.numpy as jnp
 NEG = -1e30
 KINDS = 9  # 4 sub + 1 del + 4 ins per position
 
+# Mean dense-scored p_err at NON-candidate positions by (snr_bin, coverage)
+# — regenerate with tools/fit_clean_qv.py (simulator, dense scoring, the
+# production candidate rule). Used by clean_perr() in sparse mode (C7).
+# Filled from the fit; rows = 8 snr bins, cols = coverage 0..40 (clipped).
+import numpy as _np
+
+def _clean_perr_default():
+    # provisional log-linear fit (overwritten by tools/fit_clean_qv.py's
+    # committed constants when regenerated): p = 10^-(a + b*cov), floored
+    cov = _np.arange(41, dtype=_np.float64)
+    rows = []
+    for s in range(8):
+        a, b = 1.0, 0.22
+        rows.append(_np.minimum(10.0 ** -(a + b * cov), 0.25))
+    return _np.asarray(rows, dtype=_np.float32)
+
+CLEAN_PERR_V0 = _clean_perr_default()
+
 
 # ---------------------------------------------------------------------------
 # scoring: XLA fallback (CPU / oracle) via the tested hmm_cols bridge
@@ -95,15 +113,40 @@ def mutation_valid_new(tpl, tlen):
     return jnp.concatenate([v, pre_v], axis=1)
 
 
+def expand_cand(cand):
+    """[B, T] candidate mask -> [B, 9T+4] mutation-slot mask (prepends are
+    always scored — selection needs them and they cost one bridge)."""
+    B = cand.shape[0]
+    reg = jnp.repeat(cand, KINDS, axis=1)
+    return jnp.concatenate(
+        [reg, jnp.ones((B, 4), dtype=cand.dtype)], axis=1)
+
+
 def score_all(tpl, tlen, snr_bin, reads, rlens, tables,
-              use_pallas: bool = False, interpret: bool = False):
-    """Dispatch: fused Pallas kernel on TPU, hmm_cols bridge elsewhere."""
+              use_pallas: bool = False, interpret: bool = False,
+              cand=None):
+    """Dispatch: fused Pallas kernel on TPU, hmm_cols bridge elsewhere.
+
+    ``cand`` [B, T] bool enables candidate-sparse scoring (C7,
+    performance.md:90-93): only flagged positions carry mutation scores
+    (others are NEG-invalid); ll0 stays exact. On TPU the sparse kernel
+    skips the unflagged bridges (the documented >=2x); the XLA path scores
+    densely and masks, so both platforms produce identical semantics."""
+    if cand is None:
+        if use_pallas:
+            from ccs_tpu.ops.hmm_score_pallas import score_all_pallas
+            lls, ll0 = score_all_pallas(tpl, tlen, snr_bin, reads, rlens,
+                                        tables, interpret=interpret)
+            return jnp.where(mutation_valid_new(tpl, tlen), lls, NEG), ll0
+        return score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables)
+    valid = mutation_valid_new(tpl, tlen) & expand_cand(cand)
     if use_pallas:
-        from ccs_tpu.ops.hmm_score_pallas import score_all_pallas
-        lls, ll0 = score_all_pallas(tpl, tlen, snr_bin, reads, rlens, tables,
-                                    interpret=interpret)
-        return jnp.where(mutation_valid_new(tpl, tlen), lls, NEG), ll0
-    return score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables)
+        from ccs_tpu.ops.hmm_score_pallas import score_sparse_pallas
+        lls, ll0 = score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens,
+                                       cand, tables, interpret=interpret)
+    else:
+        lls, ll0 = score_all_xla(tpl, tlen, snr_bin, reads, rlens, tables)
+    return jnp.where(valid, lls, NEG), ll0
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +350,25 @@ def _qv_from_lls(lls, ll, tpl, tlen):
     return jnp.clip(qv, 0.0, 93.0), p_err
 
 
+def clean_perr(tables, cov, snr_bin):
+    """Calibrated error probability of a CLEAN (non-candidate) position.
+
+    In sparse mode (C7) unflagged positions carry no mutation scores; their
+    per-base p_err comes from this table — mean dense-scored p_err at
+    non-candidate positions, fit per (snr_bin, coverage) on the simulator
+    (tools/fit_clean_qv.py). Keyed by the same evidence the candidate rule
+    used to clear the position: coverage and SNR. rq stays calibrated in
+    expectation because the table IS the conditional mean; per-base QVs at
+    these positions land in the top QV bins regardless (qv-binning.md).
+    """
+    tab = tables.get("clean_perr")
+    if tab is None:
+        tab = jnp.asarray(CLEAN_PERR_V0)
+    c = jnp.clip(cov.astype(jnp.int32), 0, tab.shape[1] - 1)
+    s = jnp.clip(snr_bin.astype(jnp.int32), 0, tab.shape[0] - 1)
+    return tab[s, c]
+
+
 def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
                               reads, rlens, tables, max_iters: int = 40,
                               is_first=None, priority=None,
@@ -314,7 +376,8 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
                               interpret: bool = False,
                               thresh: float = 0.02,
                               careful_after: int = 6,
-                              tail_bucket: int = 0):
+                              tail_bucket: int = 0,
+                              sparse: bool = False):
     """Exhaustive multi-apply polish until no mutation improves.
 
     Same contract as pipeline.polish.polish_windows: returns
@@ -343,12 +406,13 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
     priority = jnp.where(j < tlen[:, None], priority.astype(jnp.float32), 0.0)
 
     def make_body(snr_b, reads_b, rlens_b, is_first_b):
-        def score(t, tl, sb=None, rd=None, rl=None):
+        def score(t, tl, pri, sb=None, rd=None, rl=None):
             return score_all(t, tl,
                              snr_b if sb is None else sb,
                              reads_b if rd is None else rd,
                              rlens_b if rl is None else rl, tables,
-                             use_pallas=use_pallas, interpret=interpret)
+                             use_pallas=use_pallas, interpret=interpret,
+                             cand=(pri > 0.0) if sparse else None)
 
         def body(s, compact: bool = False):
             sel, pkind, pre_sel, pre_base, _ = select_mutations(
@@ -362,8 +426,9 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
             m = improved[:, None]
             tpl2 = jnp.where(m, ntpl, s.tpl)
             tlen2 = jnp.where(improved, nlen, s.tlen)
+            pri2 = jnp.where(m, npri, s.priority)
             if not compact:
-                lls2, ll2 = score(tpl2, tlen2)
+                lls2, ll2 = score(tpl2, tlen2, pri2)
             else:
                 # gather still-improving rows to the front before scoring:
                 # converged rows become all-dead trailing 128-lane blocks
@@ -391,8 +456,9 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
                                         jnp.asarray(fill, out.dtype))
                     return out
 
-                lls_g, ll_g = score(g(tpl2), g(tlen2, 1), g(snr_b),
-                                    g(reads_b, -1), g(rlens_b, -1))
+                lls_g, ll_g = score(g(tpl2), g(tlen2, 1), g(pri2, 0.0),
+                                    g(snr_b), g(reads_b, -1),
+                                    g(rlens_b, -1))
                 invc = jnp.clip(inv, 0, Bn - 1)
                 lls2 = jnp.where(improved[:, None],
                                  jnp.take(lls_g, invc, axis=0), s.lls)
@@ -403,12 +469,12 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
                 core_end=jnp.where(improved, nce, s.core_end),
                 ll=ll2, lls=lls2, active=improved,
                 n_iter=s.n_iter + s.active.astype(jnp.int32),
-                priority=jnp.where(m, npri, s.priority))
+                priority=pri2)
 
         return score, body
 
     score0, body = make_body(snr_bin, reads, rlens, is_first)
-    lls0, ll0 = score0(tpl, tlen)
+    lls0, ll0 = score0(tpl, tlen, priority)
     has_cov = (rlens >= 0).any(-1)
     # a row enters the loop only if the initial scores contain an improving
     # mutation it would actually select — rows already at a local optimum
@@ -434,10 +500,20 @@ def polish_windows_fused_impl(tpl, tlen, core_start, core_end, snr_bin,
         state = jax.lax.while_loop(cond_to(0),
                                    lambda s: body(s, compact=True), state)
     qv, p_err = _qv_from_lls(state.lls, state.ll, state.tpl, state.tlen)
+    if sparse:
+        # clean (non-candidate) positions carry no mutation scores; their
+        # p_err comes from the calibrated table (see clean_perr)
+        cov = (rlens >= 0).sum(-1)
+        pc = clean_perr(tables, cov, snr_bin)                  # [B]
+        j2 = jnp.arange(T)[None, :]
+        ncm = (state.priority <= 0.0) & (j2 < state.tlen[:, None])
+        p_err = jnp.where(ncm, pc[:, None], p_err)
+        qv_c = jnp.clip(-10.0 * jnp.log10(jnp.maximum(pc, 1e-9)), 0.0, 93.0)
+        qv = jnp.where(ncm, qv_c[:, None], qv)
     return state, qv, p_err
 
 
 polish_windows_fused = jax.jit(
     polish_windows_fused_impl,
     static_argnames=("max_iters", "use_pallas", "interpret", "thresh",
-                     "careful_after", "tail_bucket"))
+                     "careful_after", "tail_bucket", "sparse"))
