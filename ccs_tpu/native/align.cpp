@@ -171,11 +171,15 @@ int64_t affine_core(const int8_t* read, int64_t R,
     // vectorizable). The loop-carried D-chain is isolated into pass B so
     // passes A/C auto-vectorize — same trick as the NumPy oracle's
     // prefix-min, same results bit-for-bit.
-    thread_local std::vector<int32_t> ubuf_s, dbuf_s;
+    thread_local std::vector<int32_t> ubuf_s, dbuf_s, sbuf_s, pmbuf_s;
     ubuf_s.resize(width);
     dbuf_s.resize(width);
+    sbuf_s.resize(width);
+    pmbuf_s.resize(width);
     int32_t* ubuf = ubuf_s.data();
     int32_t* dbuf = dbuf_s.data();
+    int32_t* sbuf = sbuf_s.data();
+    int32_t* pmbuf = pmbuf_s.data();
     const int32_t go_ge = gap_open + gap_ext;
 
     for (int64_t i = 1; i <= R; ++i) {
@@ -239,27 +243,55 @@ int64_t affine_core(const int8_t* read, int64_t R,
         }
         for (int64_t k = khi + 1; k < width; ++k) cellA(k);
 
-        // ---- pass B: scalar exclusive prefix-min deletion scan
+        // ---- pass B: exclusive prefix-min deletion scan, split so only
+        // the 1-op/iter min scan stays scalar (B1/B3/B4 auto-vectorize).
+        // s[k] = u[k] - ge*k; runmin(k) = min_{k'<k} s[k']; pollution from
+        // BIG-masked cells stays > BIG32 after re-adding ge*k + gap_open,
+        // so every comparison below behaves exactly like the fused scalar
+        // scan it replaces.
         {
             const int64_t kv_lo = jbase < 0 ? -jbase : 0;        // j >= 0
             int64_t kv_hi = T - jbase;                           // j <= T
             if (kv_hi > width - 1) kv_hi = width - 1;
             const int64_t kj_lo = (1 - jbase) > 1 ? (1 - jbase) : 1;  // j>=1
-            int32_t runmin = BIG32;
-            int32_t d_prev = BIG32, u_prev = BIG32;
-            int32_t ge_k = 0;
-            for (int64_t k = 0; k < width; ++k, ge_k += gap_ext) {
-                const int32_t u = ubuf[k];
-                int32_t d_val = BIG32;
-                if (k >= kj_lo && k >= kv_lo && k <= kv_hi && runmin < BIG32)
-                    d_val = runmin + ge_k + gap_open;
-                drow[k] = (k > 0 && d_prev < BIG32 &&
-                           d_prev + gap_ext <= u_prev + go_ge) ? 1 : 0;
-                dbuf[k] = d_val;
-                const int32_t shifted = u - ge_k;
-                if (shifted < runmin) runmin = shifted;
-                d_prev = d_val;
-                u_prev = u;
+            int64_t dlo = kj_lo > kv_lo ? kj_lo : kv_lo;
+            if (dlo < 1) dlo = 1;
+            // B1: shifted values (vector)
+            {
+                const int32_t* __restrict__ ub = ubuf;
+                int32_t* __restrict__ sb = sbuf;
+                for (int64_t k = 0; k < width; ++k)
+                    sb[k] = ub[k] - int32_t(k) * gap_ext;
+            }
+            // B2: exclusive prefix min (scalar, 1 min/iter)
+            {
+                int32_t rm = BIG32;
+                for (int64_t k = 0; k < width; ++k) {
+                    pmbuf[k] = rm;
+                    const int32_t s = sbuf[k];
+                    rm = s < rm ? s : rm;
+                }
+            }
+            // B3: deletion candidates (vector); out-of-range stays BIG32
+            for (int64_t k = 0; k < width; ++k) dbuf[k] = BIG32;
+            if (dlo <= kv_hi) {
+                const int32_t* __restrict__ pm = pmbuf;
+                int32_t* __restrict__ db = dbuf;
+                for (int64_t k = dlo; k <= kv_hi; ++k) {
+                    const int32_t rm = pm[k];
+                    db[k] = rm < BIG32
+                        ? rm + int32_t(k) * gap_ext + gap_open : BIG32;
+                }
+            }
+            // B4: D-extension flags for the traceback (vector)
+            {
+                const int32_t* __restrict__ db = dbuf;
+                const int32_t* __restrict__ ub = ubuf;
+                drow[0] = 0;
+                for (int64_t k = 1; k < width; ++k)
+                    drow[k] = (db[k - 1] < BIG32 &&
+                               db[k - 1] + gap_ext <= ub[k - 1] + go_ge)
+                                  ? 1 : 0;
             }
         }
 
@@ -404,7 +436,11 @@ void chain_with_index(const int8_t* read, int64_t R,
     const int64_t nr = R - k + 1;
     if (nr <= 0 || pos.empty()) return;
     // read k-mers hitting unique template k-mers, in rpos order
-    std::vector<int64_t> rpos, tpos;
+    // (thread_local: fresh per-read vector allocations were ~25% of the
+    // whole pileup call — capacity persists across calls)
+    thread_local std::vector<int64_t> rpos, tpos;
+    rpos.clear();
+    tpos.clear();
     {
         uint64_t code = 0;
         const uint64_t mask = (k >= 32) ? ~uint64_t(0)
@@ -428,7 +464,10 @@ void chain_with_index(const int8_t* read, int64_t R,
     if (n == 0) return;
     // patience LIS on tpos (strictly increasing), identical tie handling to
     // the Python bisect_left formulation
-    std::vector<int64_t> tails, tails_idx, parent(n, -1);
+    thread_local std::vector<int64_t> tails, tails_idx, parent;
+    tails.clear();
+    tails_idx.clear();
+    parent.assign(size_t(n), -1);
     for (int64_t a = 0; a < n; ++a) {
         const int64_t t = tpos[a];
         const int64_t h = std::lower_bound(tails.begin(), tails.end(), t)
@@ -460,7 +499,9 @@ void anchor_chain_core(const int8_t* read, int64_t R,
 void centers_from_chain(const std::vector<std::pair<int64_t, int64_t>>& chain,
                         int64_t R, int64_t T, std::vector<int64_t>* centers) {
     const int64_t m = int64_t(chain.size()) + 2;
-    std::vector<double> rp(m), tp(m);
+    thread_local std::vector<double> rp, tp;
+    rp.assign(size_t(m), 0.0);
+    tp.assign(size_t(m), 0.0);
     rp[0] = 0.0;
     tp[0] = 0.0;
     for (size_t a = 0; a < chain.size(); ++a) {
@@ -542,10 +583,11 @@ bool guided_affine_idx(const int8_t* read, int64_t R,
         }
         return true;
     }
-    std::vector<std::pair<int64_t, int64_t>> chain;
+    thread_local std::vector<std::pair<int64_t, int64_t>> chain;
+    chain.clear();
     if (idx != nullptr) chain_with_index(read, R, *idx, k, &chain);
     else anchor_chain_core(read, R, tpl, T, k, &chain);
-    std::vector<int64_t> centers;
+    thread_local std::vector<int64_t> centers;
     if (int64_t(chain.size()) >= 3) {
         centers_from_chain(chain, R, T, &centers);
         sanitize_centers(&centers, T);
@@ -640,12 +682,18 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
                          int8_t* out_draft, int64_t out_cap, int64_t* out_len,
                          uint8_t* out_mapped, double* out_ident,
                          double* out_weak, float* out_stats) {
-    std::vector<double> sub_votes(size_t(T) * 4, 0.0);
-    std::vector<double> del_votes(size_t(T), 0.0), cov(size_t(T), 0.0);
-    // insertion variants per junction: (sequence, count), first-inserted
-    // order preserved so count ties resolve like Counter.most_common
-    std::unordered_map<int64_t,
-                       std::vector<std::pair<std::string, int64_t>>> ins_votes;
+    std::vector<int32_t> sub_votes(size_t(T) * 4, 0);
+    std::vector<int32_t> del_votes(size_t(T), 0), cov(size_t(T), 0);
+    // insertion variants per junction: a flat per-junction chain (head
+    // index into a node pool) instead of an unordered_map — the emit loop
+    // touches every junction and per-position map lookups were ~1 ms of a
+    // ~5 ms pileup call. Chain order = first-inserted order, so count ties
+    // resolve like Counter.most_common.
+    struct InsVar { int32_t next, count, off, len; };
+    std::vector<int32_t> ins_head(size_t(T) + 1, -1);
+    std::vector<InsVar> ins_pool;
+    std::vector<int8_t> ins_chars;
+    std::vector<int8_t> pending;
     std::vector<int8_t> ops_buf;
     int64_t n_mapped = 0;
     FlatKmerIndex idx;                 // one template index for all reads
@@ -669,34 +717,44 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
         ++n_mapped;
         // walk ops start-first (ops_buf is end-first), accumulating votes
         int64_t i = 0, j = 0;
-        std::string pending;
         auto flush = [&](int64_t at) {
             if (pending.empty()) return;
-            auto& v = ins_votes[at];
-            bool found = false;
-            for (auto& e : v)
-                if (e.first == pending) { ++e.second; found = true; break; }
-            if (!found) v.emplace_back(pending, 1);
+            const int32_t plen = int32_t(pending.size());
+            int32_t* slot = &ins_head[at];
+            while (*slot >= 0) {
+                InsVar& v = ins_pool[*slot];
+                if (v.len == plen &&
+                    std::memcmp(ins_chars.data() + v.off, pending.data(),
+                                size_t(plen)) == 0) {
+                    ++v.count;
+                    pending.clear();
+                    return;
+                }
+                slot = &v.next;
+            }
+            *slot = int32_t(ins_pool.size());
+            ins_pool.push_back({-1, 1, int32_t(ins_chars.size()), plen});
+            ins_chars.insert(ins_chars.end(), pending.begin(), pending.end());
             pending.clear();
         };
         for (int64_t o = ops_len - 1; o >= 0; --o) {
             const int8_t op = ops_buf[o];
             if (op == M_DIAG) {
-                flush(j);
-                sub_votes[j * 4 + (read[i] & 3)] += 1.0;
-                cov[j] += 1.0;
+                if (!pending.empty()) flush(j);
+                ++sub_votes[j * 4 + (read[i] & 3)];
+                ++cov[j];
                 ++i; ++j;
             } else if (op == M_LEFT) {  // D: template consumed, no read base
-                flush(j);
-                del_votes[j] += 1.0;
-                cov[j] += 1.0;
+                if (!pending.empty()) flush(j);
+                ++del_votes[j];
+                ++cov[j];
                 ++j;
             } else {                    // I: extra read base
-                pending.push_back(char(read[i] & 3));
+                pending.push_back(int8_t(read[i] & 3));
                 ++i;
             }
         }
-        flush(j);
+        if (!pending.empty()) flush(j);
     }
     if (n_mapped == 0) { *out_len = 0; *out_weak = 1.0; return 0; }
 
@@ -707,10 +765,10 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
     {
         int64_t weak = 0;
         for (int64_t j = 0; j < T; ++j) {
-            double bc = 0.0;
+            int32_t bc = 0;
             for (int64_t b = 0; b < 4; ++b)
                 if (sub_votes[j * 4 + b] > bc) bc = sub_votes[j * 4 + b];
-            if (cov[j] <= 0.0 || 2.0 * bc <= cov[j]) ++weak;
+            if (cov[j] <= 0 || 2 * bc <= cov[j]) ++weak;
         }
         *out_weak = T > 0 ? double(weak) / double(T) : 1.0;
     }
@@ -721,15 +779,15 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
     // needs: [cov, agree, indel] where agree = votes for the emitted base
     // and indel = deletion votes here + total insertion vote mass at the
     // flanking junctions (evidence of a possibly-missing base nearby).
-    auto ins_mass = [&](int64_t j) -> double {
-        auto it = ins_votes.find(j);
-        if (it == ins_votes.end()) return 0.0;
-        double m = 0.0;
-        for (const auto& e : it->second) m += double(e.second);
+    auto ins_mass = [&](int64_t j) -> int32_t {
+        int32_t m = 0;
+        for (int32_t h = ins_head[j]; h >= 0; h = ins_pool[h].next)
+            m += ins_pool[h].count;
         return m;
     };
     int64_t n = 0;
-    auto emit = [&](int8_t b, double cv, double agree, double indel) -> bool {
+    auto emit = [&](int8_t b, int32_t cv, int32_t agree,
+                    int32_t indel) -> bool {
         if (n >= out_cap) return false;
         if (out_stats != nullptr) {
             out_stats[3 * n + 0] = float(cv);
@@ -740,31 +798,31 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
         return true;
     };
     for (int64_t j = 0; j <= T; ++j) {
-        auto it = ins_votes.find(j);
-        if (it != ins_votes.end() && !it->second.empty()) {
-            const std::pair<std::string, int64_t>* best = nullptr;
-            for (const auto& e : it->second)
-                if (!best || e.second > best->second) best = &e;
-            const double covj = (j < T) ? cov[j] : (T ? cov[T - 1] : 1.0);
-            const double gate = (covj > 1.0 ? covj : 1.0) / 2.0;
-            if (double(best->second) > gate)
-                for (char c : best->first)
-                    if (!emit(int8_t(c), covj, double(best->second),
-                              covj - double(best->second)))
+        if (ins_head[j] >= 0) {
+            const InsVar* best = nullptr;
+            for (int32_t h = ins_head[j]; h >= 0; h = ins_pool[h].next)
+                if (!best || ins_pool[h].count > best->count)
+                    best = &ins_pool[h];
+            const int32_t covj = (j < T) ? cov[j] : (T ? cov[T - 1] : 1);
+            // cnt > max(covj, 1)/2.0 with integer counts == 2*cnt > max(..)
+            if (2 * best->count > (covj > 1 ? covj : 1))
+                for (int32_t c = 0; c < best->len; ++c)
+                    if (!emit(ins_chars[best->off + c], covj, best->count,
+                              covj - best->count))
                         return -2;
         }
         if (j == T) break;
         // best base: argmax over 4 (first max wins, like np.argmax)
         int64_t bb = 0;
-        double bc = sub_votes[j * 4];
+        int32_t bc = sub_votes[j * 4];
         for (int64_t b = 1; b < 4; ++b)
             if (sub_votes[j * 4 + b] > bc) { bc = sub_votes[j * 4 + b]; bb = b; }
         if (del_votes[j] > bc) continue;
-        const double indel = del_votes[j] + ins_mass(j) + ins_mass(j + 1);
-        if (cov[j] > 0.0) {
+        const int32_t indel = del_votes[j] + ins_mass(j) + ins_mass(j + 1);
+        if (cov[j] > 0) {
             if (!emit(int8_t(bb), cov[j], bc, indel)) return -2;
         } else {
-            if (!emit(tpl[j], 0.0, 0.0, indel)) return -2;
+            if (!emit(tpl[j], 0, 0, indel)) return -2;
         }
     }
     *out_len = n;

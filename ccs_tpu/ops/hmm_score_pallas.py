@@ -531,11 +531,11 @@ def _rel_to_abs(lls3, tpl, T: int):
                            axis=-1).reshape(B, 9 * T)
 
 
-def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
+def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                    ME_ref, IE_ref, DP_ref, PWM_ref, PWI_ref, reads_ref,
                    rl_ref, lls_ref, ll0_ref,
                    mex_ref, iex_ref, dpx_ref, meM_ref, ieM_ref, dpM_ref,
-                   tplC_ref, prevC_ref, nxtC_ref,
+                   slot_ref, llsC_ref, tplC_ref, prevC_ref, nxtC_ref,
                    ycols_ref, lsf_ref, betas_ref, lsb_ref,
                    ohdm_ref, ohdi_ref, ohum_ref, ohui_ref,
                    *, T: int, C: int, R: int, S: int, KP: int):
@@ -543,11 +543,16 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
     >=2x from skipping unambiguous positions, performance.md:90-93, now IN
     the kernel rather than a post-hoc selection mask).
 
-    ``slot_ref`` [KP, LB] i32 holds each lane's candidate positions,
-    compacted to the front (SLOT_SENTINEL pads). The forward/backward
-    column sweeps still cover the whole template (they are 12% of the
-    dense cost and ll0/QV need them exact); only the per-position mutation
-    BRIDGE — 88% of the dense kernel — runs per candidate slot:
+    ``pri_ref`` [T, LB] f32 is the candidate priority (>0 = flagged). The
+    whole sparse bookkeeping lives in-kernel — slot compaction in the
+    prologue, a dense-layout scatter in the epilogue — because every
+    [B, T, K]-shaped XLA-side formulation of the same bookkeeping
+    (one-hot einsum remap, sort-based slot maps, take_along_axis) measured
+    3-12 ms per call at production shapes, more than the bridge work it
+    was saving. The forward/backward column sweeps still cover the whole
+    template (they are 12% of the dense cost and ll0/QV need them exact);
+    only the per-position mutation BRIDGE — 88% of the dense kernel —
+    runs per candidate slot:
 
     - the fwd loop stores its intermediate y_j (the bridge's y_p is
       exactly the fwd recurrence's pre-solve vector, so nothing is
@@ -563,9 +568,10 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
 
     Per-block trip bound Km (bounds col 2) = max candidate count, so
     (cov, n_cand, tlen)-sorted chunks pay for the candidates they have.
-    Outputs are compacted: lls [8, KP+1, LB] with slot k's scores at
-    column k (relative-base rows) and the 4 prepends at column KP; the
-    XLA wrapper scatters them back with a one-hot einsum (no gathers).
+    Output layout is IDENTICAL to the dense kernel ([8, T+1, LB],
+    relative-base rows, prepends at column T): bridged slots accumulate in
+    compacted scratch and a cheap per-position one-hot reduction writes
+    them back, so the caller needs no remap at all.
     """
     LB = tpl_ref.shape[-1]
     blk = pl.program_id(0)
@@ -582,6 +588,20 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
         jrow = jax.lax.broadcasted_iota(jnp.int32, (T, LB), 0)
         in_tpl = (jrow < tl).astype(jnp.float32)
         prev = jnp.where(jrow == 0, tpl, pltpu.roll(tpl, 1, axis=0))
+
+        # ---- slot compaction: k-th candidate position per lane ----
+        llsC_ref[:] = jnp.zeros_like(llsC_ref)
+        slot_ref[:] = jnp.full_like(slot_ref, SLOT_SENTINEL)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (KP, LB), 0)
+
+        def build_slots(p, kcount):
+            candp = (pri_ref[pl.ds(p, 1)] > 0.0) & (p < tl)    # [1, LB]
+            m = (krow == kcount) & candp                       # [KP, LB]
+            slot_ref[:] = jnp.where(m, p, slot_ref[:])
+            return kcount + candp.astype(jnp.int32)
+
+        jax.lax.fori_loop(0, Tm, build_slots,
+                          jnp.zeros((1, LB), jnp.int32))
 
         # ---- original positional params (identity-padded; fwd/bwd) ----
         ctx0 = 4 * prev + tpl
@@ -803,8 +823,8 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
                 ls4b = jnp.broadcast_to(lsp1 + lsq, (4, LB))
                 lsrow = jnp.concatenate([ls4a, ls4b], axis=0)
                 contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
-                lls_ref[0:8, pl.ds(kk, 1)] = (lls_ref[0:8, pl.ds(kk, 1)]
-                                              + contrib[:, None, :])
+                llsC_ref[0:8, pl.ds(kk, 1)] = (llsC_ref[0:8, pl.ds(kk, 1)]
+                                               + contrib[:, None, :])
                 return 0
 
             jax.lax.fori_loop(0, Km, bridge, 0)
@@ -836,11 +856,25 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, slot_ref,
             pre_block = jnp.concatenate(pres, axis=0)
             pre_ls = jnp.broadcast_to(lsb_1, (4, LB))
             pre_c = live * (jnp.log(jnp.maximum(pre_block, TINY)) + pre_ls)
-            lls_ref[0:4, pl.ds(KP, 1)] = (lls_ref[0:4, pl.ds(KP, 1)]
-                                          + pre_c[:, None, :])
+            lls_ref[0:4, pl.ds(T, 1)] = (lls_ref[0:4, pl.ds(T, 1)]
+                                         + pre_c[:, None, :])
             return 0
 
         jax.lax.fori_loop(0, Cm, c_body, 0)
+
+        # ---- epilogue: scatter compacted slot scores to the dense layout
+        # (one-hot reduction over KP per position; per block this is
+        # ~2*8*KP*LB*Tm elements — microseconds, vs milliseconds for any
+        # XLA-side remap of the same data)
+        slot_all = slot_ref[:]                             # [KP, LB]
+
+        def scat(p, _):
+            m = (slot_all == p)[None]                      # [1, KP, LB]
+            contrib = jnp.sum(jnp.where(m, llsC_ref[:], 0.0), axis=1)
+            lls_ref[0:8, pl.ds(p, 1)] = contrib[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, Tm, scat, 0)
 
 
 @functools.partial(jax.jit,
@@ -854,7 +888,9 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
     cand [B, T] bool — positions to bridge. Returns (lls [B, 9T+4] with 0
     at unbridged slots — caller masks them invalid, ll0 [B]). Bridged
     values equal the dense kernel's up to fp reassociation (the B-stage
-    is solved via its exact transpose)."""
+    is solved via its exact transpose). All sparse bookkeeping (slot
+    compaction, dense-layout writeback) happens in-kernel; the output
+    layout matches the dense kernel exactly."""
     B, T = tpl.shape
     _, C, R = reads.shape
     S = _round_up(R + 1, 8)
@@ -869,14 +905,7 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
     IE = trans[..., 1:2] * onehot[None] + trans[..., 2:3] * es
     DP = trans[..., 3]
 
-    # slot map: per row, candidate positions compacted to the front
     cand = cand & (jnp.arange(T)[None, :] < tlen[:, None])
-    rank = jnp.cumsum(cand.astype(jnp.int32), axis=1) - 1       # [B, T]
-    karange = jnp.arange(KP)[None, None, :]
-    oh = cand[:, :, None] & (rank[:, :, None] == karange)       # [B, T, KP]
-    pos = jnp.arange(T)[None, :, None]
-    slotmap = ((pos * oh).sum(1)
-               + SLOT_SENTINEL * (1 - oh.any(1).astype(jnp.int32)))
     nc = cand.sum(1).astype(jnp.int32)                          # [B]
 
     ME_t = jnp.transpose(ME, (1, 2, 0))
@@ -888,7 +917,7 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
     tlen_t = tlen.astype(jnp.int32)[None]
     reads_t = jnp.transpose(reads, (1, 2, 0)).astype(jnp.int32)
     rl_t = rlens.astype(jnp.int32).T
-    slot_t = slotmap.astype(jnp.int32).T                        # [KP, B]
+    pri_t = cand.astype(jnp.float32).T                          # [T, B]
 
     LB = min(lane_block, _round_up(B, 128))
     Bp = _round_up(B, LB)
@@ -904,8 +933,7 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
         reads_t = jnp.pad(reads_t, ((0, 0), (0, 0), (0, pad)),
                           constant_values=-1)
         rl_t = jnp.pad(rl_t, ((0, 0), (0, pad)), constant_values=-1)
-        slot_t = jnp.pad(slot_t, ((0, 0), (0, pad)),
-                         constant_values=SLOT_SENTINEL)
+        pri_t = jnp.pad(pri_t, ((0, 0), (0, pad)))
         nc = jnp.pad(nc, (0, pad))
 
     grid = (Bp // LB,)
@@ -929,7 +957,7 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bounds [grid, 3]
             lane_spec((T,)),          # tpl
             lane_spec((1,)),          # tlen
-            lane_spec((KP,)),         # slotmap
+            lane_spec((T,)),          # priority (>0 = candidate)
             lane_spec((16, 4)),       # ME
             lane_spec((16, 4)),       # IE
             lane_spec((16,)),         # DP
@@ -938,8 +966,8 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
             lane_spec((C, R)),        # reads
             lane_spec((C,)),          # rl
         ],
-        out_specs=(lane_spec((8, KP + 1)), lane_spec((8,))),
-        out_shape=(jax.ShapeDtypeStruct((8, KP + 1, Bp), jnp.float32),
+        out_specs=(lane_spec((8, T + 1)), lane_spec((8,))),
+        out_shape=(jax.ShapeDtypeStruct((8, T + 1, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((8, Bp), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((4, T + 1, LB), jnp.float32),       # mex
@@ -948,6 +976,8 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
             pltpu.VMEM((N_SETS, 4, KP, LB), jnp.float32),  # meM (compacted)
             pltpu.VMEM((N_SETS, 4, KP, LB), jnp.float32),  # ieM
             pltpu.VMEM((N_SETS, KP, LB), jnp.float32),     # dpM
+            pltpu.VMEM((KP, LB), jnp.int32),               # slot map
+            pltpu.VMEM((8, KP, LB), jnp.float32),          # llsC (compacted)
             pltpu.VMEM((KP, LB), jnp.int32),               # tplC
             pltpu.VMEM((KP, LB), jnp.int32),               # prevC
             pltpu.VMEM((KP, LB), jnp.int32),               # nxtC
@@ -961,19 +991,12 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
             pltpu.VMEM((4, S, LB), jnp.float32),           # ohui
         ],
         interpret=interpret,
-    )(bounds, tpl_t, tlen_t, slot_t, ME_t, IE_t, DP_t, PWM_t, PWI_t,
+    )(bounds, tpl_t, tlen_t, pri_t, ME_t, IE_t, DP_t, PWM_t, PWI_t,
       reads_t, rl_t)
 
-    # scatter compacted slots back to positions with the SAME one-hot the
-    # slot map was built from (einsum — MXU-friendly, no gathers)
-    lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, KP+1, 8]
-    # precision="highest": the default matmul path downcasts to bf16-class
-    # accumulation, which quantizes log-likelihoods to ~1/16 — the one-hot
-    # contraction must be an exact selection
-    reg_rel = jnp.einsum("btk,bkm->btm", oh.astype(jnp.float32),
-                         lls3[:, :KP, :],
-                         precision="highest")          # [B, T, 8]
-    reg = _rel_to_abs(reg_rel, tpl, T)
-    pre = lls3[:, KP, :4]
+    # identical epilogue to the dense kernel: relative->absolute remap
+    lls3 = jnp.transpose(lls3, (2, 1, 0))[:B]          # [B, T+1, 8]
+    reg = _rel_to_abs(lls3, tpl, T)
+    pre = lls3[:, T, :4]
     ll0 = ll0[0, :B]
     return jnp.concatenate([reg, pre], axis=1), ll0
