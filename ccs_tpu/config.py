@@ -83,7 +83,6 @@ class CcsConfig:
                                        # every bridge vec-op scales with S,
                                        # and window slices are <= ~38 bases
                                        # so 47 was pure padding waste)
-                                       # (47 -> sublane dim 48 in the kernel)
     tpu_window_coverage_cap: int = 32  # max subread slices polished per window
     tpu_polish_k: int = 12             # candidate positions scored per polish
                                        # iteration (legacy dense-loop knob)

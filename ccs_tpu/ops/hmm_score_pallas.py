@@ -294,7 +294,7 @@ def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
             # at ~94% of the VPU issue-rate roofline; a [9, S, LB] stacked
             # variant lowered ~1.4x SLOWER in Mosaic (strided [9,1,LB]
             # param slices + 3-D rolls), so the per-mutation shape is kept
-            # deliberately. Set g-order: A=0..3, C=4..7, D=8, B=9..12.
+            # deliberately. Set g-order: A=0..2, C=3..6, D=7, B=8..11.
             def bridge(p, _):
                 colm1 = fcols_ref[p]                       # col_{p-1}
                 col0 = fcols_ref[p + 1]                    # col_p

@@ -124,6 +124,14 @@ class CcsEngine:
         self.t_prepare = 0.0   # thread-seconds in prepare_batch
         self.t_device = 0.0    # seconds blocked on the device step
         self.t_finalize = 0.0  # seconds in host stitch/finalize
+        # device-pipeline busy time: union of the wall intervals during
+        # which >=1 chunk is in flight (dispatched, not yet collected).
+        # This is the honest "does the accelerator have work" measure —
+        # collect-block time alone undercounts overlapped execution, and
+        # over a remote-device link it mostly measures transfer latency.
+        self._outstanding = 0
+        self._busy_t0 = 0.0
+        self.t_busy = 0.0
         # bucket grids (window counts rounded up to mesh divisibility)
         self.w_buckets = tuple(sorted(
             -(-w // self.n_dev) * self.n_dev
@@ -335,6 +343,10 @@ class CcsEngine:
         step = self._polish_step_dense if exhaustive else self._polish_step
         state, qv, stats = step(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority)
+        import time as _time
+        if self._outstanding == 0:
+            self._busy_t0 = _time.monotonic()
+        self._outstanding += 1
         qv_rq = None
         if self._dc_refine is not None:
             # Revio-shaped learned refinement of low-QV windows
@@ -363,7 +375,11 @@ class CcsEngine:
         out_qv_rq = pulls[7] if qv_rq is not None else None
         if getattr(self._polish_step, "stats_sharded", False):
             s = np.asarray(s).reshape(-1, 3).sum(axis=0)
-        self.t_device += _time.monotonic() - _t0
+        _now = _time.monotonic()
+        self.t_device += _now - _t0
+        self._outstanding -= 1
+        if self._outstanding == 0:
+            self.t_busy += _now - self._busy_t0
         self.polish_stats += s  # [n_converged, total_iters, yield_bases]
 
         for i, (it, w, _nc) in enumerate(chunk):
