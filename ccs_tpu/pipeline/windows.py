@@ -257,57 +257,72 @@ def build_window_batch(draft: np.ndarray,
     out_reads = np.full((W, C, r_cap), -1, dtype=np.int8)
     rlens = np.full((W, C), -1, dtype=np.int32)
     fl = np.zeros((W, C), dtype=bool)
-    lane_count = np.zeros(W, dtype=np.int64)
     flat = out_reads.reshape(-1)
     # trim threshold also honors the device read cap: a slice that would
     # silently truncate at r_cap instead gets its insertion burst excised,
     # keeping the window-end evidence intact
     keep_cap = np.minimum(win_len + 8, r_cap)
     trim_thresh = np.minimum(win_len + max_insertion_size, r_cap)
-    for s in range(S):
-        rpos = rpos_list[s]
-        if rpos is None:
-            continue
-        los = np.asarray(rpos, dtype=np.int64)[ext_a]
-        his = np.asarray(rpos, dtype=np.int64)[ext_b]
+
+    # all (read, window) pairs at once: one [S, W] coordinate block, one
+    # lane-assignment cumsum, ONE flat scatter for every easy slice (the
+    # per-read Python pass was a measurable slice of host prepare time)
+    live_rows = [s for s in range(S) if rpos_list[s] is not None]
+    if live_rows:
+        rpos_all = np.stack([np.asarray(rpos_list[s], dtype=np.int64)
+                             for s in live_rows])            # [S', T+1]
+        los = rpos_all[:, ext_a]                             # [S', W]
+        his = rpos_all[:, ext_b]
         spans = his - los
-        valid = (spans > 0) & (lane_count < C)
-        lanes = lane_count
+        # order-preserving per-window lane index (same fill order as the
+        # sequential loop: reads in input order claim lanes first)
+        pre_valid = spans > 0
+        lanes = np.cumsum(pre_valid, axis=0) - pre_valid     # [S', W]
+        valid = pre_valid & (lanes < C)
         trim = valid & (spans > trim_thresh)
         easy = valid & ~trim
-        wi = np.nonzero(easy)[0]
+        si, wi = np.nonzero(easy)
         if len(wi):
-            # ragged window-slice copy as one flat scatter
-            lens = np.minimum(spans[wi], r_cap)
+            lens = np.minimum(spans[si, wi], r_cap)
+            read_off = np.asarray(
+                [0] + [len(reads[s]) for s in live_rows[:-1]],
+                np.int64).cumsum()
+            reads_flat = (np.concatenate([reads[s] for s in live_rows])
+                          if live_rows else np.empty(0, np.int8))
             rep = np.repeat(np.arange(len(wi)), lens)
             off = np.arange(int(lens.sum())) - np.repeat(
                 np.cumsum(lens) - lens, lens)
-            src = los[wi][rep] + off
-            dest = ((wi * C + lanes[wi]) * r_cap)[rep] + off
-            flat[dest] = reads[s][src]
-            rlens[wi, lanes[wi]] = lens
-            fl[wi, lanes[wi]] = full_length[s]
-        for w in np.nonzero(trim)[0]:
+            src = (read_off[si] + los[si, wi])[rep] + off
+            dest = ((wi * C + lanes[si, wi]) * r_cap)[rep] + off
+            flat[dest] = reads_flat[src]
+            rlens[wi, lanes[si, wi]] = lens
+            fl[wi, lanes[si, wi]] = np.asarray(
+                [full_length[live_rows[s]] for s in si], bool) \
+                if len(si) else False
+        for s, w in zip(*np.nonzero(trim)):
             # large-insertion trim (C6, how-does-ccs-work.md:74-78): excise
             # the oversized insertion burst instead of dropping the whole
             # lane (the rest of the pass is good evidence). The burst sits
             # at the largest read-coordinate jump of the window span; cut
             # the excess out around it, keeping win_len + a small slack.
-            lo, hi = int(los[w]), int(his[w])
+            rpos = rpos_list[live_rows[s]]
+            rd = reads[live_rows[s]]
+            lo, hi = int(los[s, w]), int(his[s, w])
             keep = int(keep_cap[w])
             a, b = int(ext_a[w]), int(ext_b[w])
             steps = np.diff(np.asarray(rpos[a:b + 1], dtype=np.int64))
             j_burst = int(np.argmax(steps))
             cut = int(rpos[a + j_burst]) + 1
             excess = (hi - lo) - keep
-            left = reads[s][lo:min(cut, lo + keep)]
-            right = reads[s][max(cut + excess, cut):hi]
+            left = rd[lo:min(cut, lo + keep)]
+            right = rd[max(cut + excess, cut):hi]
             piece = np.concatenate([left, right])[:r_cap]
-            lane = int(lanes[w])
+            lane = int(lanes[s, w])
             out_reads[w, lane, :len(piece)] = piece
             rlens[w, lane] = len(piece)
-            fl[w, lane] = full_length[s]
-        lane_count = lane_count + valid
-    coverage = lane_count.astype(np.int32)
+            fl[w, lane] = full_length[live_rows[s]]
+        coverage = np.minimum(pre_valid.sum(axis=0), C).astype(np.int32)
+    else:
+        coverage = np.zeros(W, dtype=np.int32)
     return WindowBatch(tpl, tlen, core_start, core_end, out_reads, rlens,
                        fl, coverage, priority, wins)
