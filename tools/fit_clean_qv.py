@@ -86,14 +86,19 @@ def measure(fast: bool = False):
                 jnp.asarray(rl), tables, max_iters=30,
                 priority=jnp.asarray(pri), use_pallas=False)
             p_err = np.asarray(p_err)
-            ftlen = np.asarray(state.tlen)
             fpri = np.asarray(state.priority)
+            fcs = np.asarray(state.core_start)
+            fce = np.asarray(state.core_end)
             cov = (rl >= 0).sum(1)
+            # CORE-ONLY: window margins accumulate boundary artifacts with
+            # p_err ~ 1 that never reach the stitched consensus (measured:
+            # all-positions mean 2e-2 vs core-only 7e-4 at cov 10) — the
+            # table must price what is actually emitted
             for i in range(len(wins)):
-                tl = int(ftlen[i])
-                mask = fpri[i, :tl] == 0
+                a, b2 = int(fcs[i]), int(fce[i])
+                mask = fpri[i, a:b2] == 0
                 rows.setdefault((int(sb[i]), int(cov[i])), []).append(
-                    p_err[i, :tl][mask])
+                    p_err[i, a:b2][mask])
             print(f"# snr={snr} P={P}: {len(wins)} windows", flush=True)
     return {k: np.concatenate(v) for k, v in rows.items()}
 
