@@ -106,6 +106,8 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p,  # out_mapped, out_ident
                 ctypes.c_void_p,                   # out_weak
                 ctypes.c_void_p,                   # out_stats [cap,3] f32 or NULL
+                ctypes.c_void_p,                   # out_rpos [n,(T+1)] i64 or NULL
+                ctypes.c_void_p,                   # out_src [cap] i32 or NULL
             ]
             fi = _LIB.ccs_guided_identity
             fi.restype = ctypes.c_double

@@ -568,7 +568,8 @@ bool guided_affine_idx(const int8_t* read, int64_t R,
                        int64_t k, int64_t band,
                        int64_t sub_cost, int64_t gap_open, int64_t gap_ext,
                        std::vector<int8_t>* ops_buf, int64_t* ops_len,
-                       int64_t* n_match, int64_t* score) {
+                       int64_t* n_match, int64_t* score,
+                       int64_t* rpos_at = nullptr) {
     ops_buf->resize(size_t(R + T + 2));
     if (R == 0 || T == 0) {
         // degenerate alignments (match Python affine_align's R==0/T==0)
@@ -577,9 +578,11 @@ bool guided_affine_idx(const int8_t* read, int64_t R,
         if (R == 0) {
             for (int64_t j = 0; j < T; ++j) (*ops_buf)[(*ops_len)++] = M_LEFT;
             *score = T ? gap_open + T * gap_ext : 0;
+            if (rpos_at) for (int64_t j = 0; j <= T; ++j) rpos_at[j] = 0;
         } else {
             for (int64_t i = 0; i < R; ++i) (*ops_buf)[(*ops_len)++] = M_UP;
             *score = gap_open + R * gap_ext;
+            if (rpos_at) rpos_at[0] = 0;
         }
         return true;
     }
@@ -594,7 +597,7 @@ bool guided_affine_idx(const int8_t* read, int64_t R,
         for (int64_t w : {band, band * 2}) {
             const int64_t W = w < T ? w : T;
             *score = affine_core(read, R, tpl, T, centers.data(), W, sub_cost,
-                                 gap_open, gap_ext, nullptr, ops_buf->data(),
+                                 gap_open, gap_ext, rpos_at, ops_buf->data(),
                                  ops_len, n_match);
             if (*score >= 0) return true;
         }
@@ -605,7 +608,7 @@ bool guided_affine_idx(const int8_t* read, int64_t R,
     for (;;) {
         const int64_t W = w < T ? w : T;
         *score = affine_core(read, R, tpl, T, centers.data(), W, sub_cost,
-                             gap_open, gap_ext, nullptr, ops_buf->data(),
+                             gap_open, gap_ext, rpos_at, ops_buf->data(),
                              ops_len, n_match);
         if (*score >= 0) return true;
         if (w >= limit) return false;
@@ -681,7 +684,8 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
                          double min_identity,
                          int8_t* out_draft, int64_t out_cap, int64_t* out_len,
                          uint8_t* out_mapped, double* out_ident,
-                         double* out_weak, float* out_stats) {
+                         double* out_weak, float* out_stats,
+                         int64_t* out_rpos, int32_t* out_src) {
     std::vector<int32_t> sub_votes(size_t(T) * 4, 0);
     std::vector<int32_t> del_votes(size_t(T), 0), cov(size_t(T), 0);
     // insertion variants per junction: a flat per-junction chain (head
@@ -707,7 +711,8 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
         out_ident[r] = 0.0;
         if (!guided_affine_idx(read, R, tpl, T, &idx, k, band, sub_cost,
                                gap_open, gap_ext, &ops_buf, &ops_len,
-                               &n_match, &score))
+                               &n_match, &score,
+                               out_rpos ? out_rpos + r * (T + 1) : nullptr))
             continue;
         const int64_t total = ops_len > 0 ? ops_len : 1;
         const double ident = double(n_match) / double(total);
@@ -786,6 +791,7 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
         return m;
     };
     int64_t n = 0;
+    int64_t src_j = 0;  // round-template position the emit loop is at
     auto emit = [&](int8_t b, int32_t cv, int32_t agree,
                     int32_t indel) -> bool {
         if (n >= out_cap) return false;
@@ -794,10 +800,13 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
             out_stats[3 * n + 1] = float(agree);
             out_stats[3 * n + 2] = float(indel);
         }
+        if (out_src != nullptr)
+            out_src[n] = int32_t(src_j <= T ? src_j : T);
         out_draft[n++] = b;
         return true;
     };
     for (int64_t j = 0; j <= T; ++j) {
+        src_j = j;
         if (ins_head[j] >= 0) {
             const InsVar* best = nullptr;
             for (int32_t h = ins_head[j]; h >= 0; h = ins_pool[h].next)

@@ -34,6 +34,10 @@ class DraftResult:
     # indel) from the FINAL vote round — the candidate filter's input (C7,
     # /root/reference/docs/faq/performance.md:90-93)
     pos_stats: Optional[np.ndarray] = None
+    # per-read REAL alignment coordinates [len(draft)+1] i64 (vote-round
+    # traceback remapped onto draft coordinates; None rows = derive from
+    # anchor chains instead). Replaces interpolation for window slicing.
+    rpos: Optional[list] = None
 
 
 def infer_orientation(read: np.ndarray, backbone: np.ndarray,
@@ -46,9 +50,10 @@ def infer_orientation(read: np.ndarray, backbone: np.ndarray,
 
 def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
                       min_identity: float = 0.60, band: int = 24,
-                      want_stats: bool = False
+                      want_stats: bool = False, want_rpos: bool = False
                       ) -> tuple[Optional[np.ndarray], list[bool],
-                                 np.ndarray, float, Optional[np.ndarray]]:
+                                 np.ndarray, float, Optional[np.ndarray],
+                                 Optional[list]]:
     """Align reads to tpl, vote, and emit the weighted-majority sequence.
 
     Returns (draft, mapped, identities, weak_frac, stats): identities are
@@ -57,7 +62,13 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
     half the local coverage — a chimeric backbone scatters votes over its
     junk half, so the cascade uses this to reject it. ``stats`` (only when
     ``want_stats``) is [len(draft), 3] f32 (cov, agree, indel) per emitted
-    position — the candidate filter's evidence (C7). Dispatches to the
+    position — the candidate filter's evidence (C7). ``rpos`` (only when
+    ``want_rpos``, native path) is a per-read list of [len(draft)+1] i64
+    read coordinates at every emitted draft position — the REAL alignment
+    paths from the vote round's traceback, replacing the anchor-chain
+    interpolation the window slicer otherwise needs (None rows for
+    unmapped reads; None entirely on the NumPy fallback, where the caller
+    falls back to chains). Dispatches to the
     native C++ kernel (ccs_pileup_draft: anchor chain + affine DP + vote
     walk + consensus emit in one call — the round-2 host bottleneck was
     this loop in Python); the code below is the oracle/fallback
@@ -68,41 +79,63 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
         import ctypes
         tpl_c = np.ascontiguousarray(tpl, dtype=np.int8)
         T = len(tpl_c)
-        offs = np.zeros(len(aligned_reads) + 1, dtype=np.int64)
+        n_reads = len(aligned_reads)
+        offs = np.zeros(n_reads + 1, dtype=np.int64)
         for i, r in enumerate(aligned_reads):
             offs[i + 1] = offs[i] + len(r)
         flat = np.empty(int(offs[-1]), dtype=np.int8)
         for i, r in enumerate(aligned_reads):
             flat[offs[i]:offs[i + 1]] = r
-        cap = 2 * T + int(offs[-1] // max(len(aligned_reads), 1)) + 4096
+        cap = 2 * T + int(offs[-1] // max(n_reads, 1)) + 4096
         out = np.empty(cap, dtype=np.int8)
         out_len = np.zeros(1, dtype=np.int64)
-        out_mapped = np.zeros(len(aligned_reads), dtype=np.uint8)
-        out_ident = np.zeros(len(aligned_reads), dtype=np.float64)
+        out_mapped = np.zeros(n_reads, dtype=np.uint8)
+        out_ident = np.zeros(n_reads, dtype=np.float64)
         out_weak = np.ones(1, dtype=np.float64)
         stats = np.zeros((cap, 3), dtype=np.float32) if want_stats else None
+        rp = (np.zeros((n_reads, T + 1), dtype=np.int64)
+              if want_rpos else None)
+        src = np.zeros(cap, dtype=np.int32) if want_rpos else None
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.c_void_p) if a is not None \
+                else None
+
         # band 24 default: measured identical draft accuracy to 48 at
         # SNR 8 x 10 passes and ~1.4x faster — anchors keep the DP
         # centered, and guided_affine retries at 2x band on escape
         n_mapped = lib.ccs_pileup_draft(
             tpl_c.ctypes.data_as(ctypes.c_void_p), T,
             flat.ctypes.data_as(ctypes.c_void_p),
-            offs.ctypes.data_as(ctypes.c_void_p), len(aligned_reads),
+            offs.ctypes.data_as(ctypes.c_void_p), n_reads,
             13, band, 6, 2, 2, float(min_identity),
             out.ctypes.data_as(ctypes.c_void_p), cap,
             out_len.ctypes.data_as(ctypes.c_void_p),
             out_mapped.ctypes.data_as(ctypes.c_void_p),
             out_ident.ctypes.data_as(ctypes.c_void_p),
             out_weak.ctypes.data_as(ctypes.c_void_p),
-            stats.ctypes.data_as(ctypes.c_void_p) if stats is not None
-            else None)
+            ptr(stats), ptr(rp), ptr(src))
         if n_mapped >= 0:  # -2 = buffer overflow -> fall through to NumPy
             mapped = [bool(m) for m in out_mapped]
             if n_mapped == 0:
-                return None, mapped, out_ident, 1.0, None
+                return None, mapped, out_ident, 1.0, None, None
             nl = int(out_len[0])
+            rlist = None
+            if want_rpos:
+                # remap each read's per-ROUND-template rpos onto the
+                # EMITTED draft coordinates via the per-base source map
+                srcn = src[:nl].astype(np.int64)
+                rlist = []
+                for i in range(n_reads):
+                    if not out_mapped[i]:
+                        rlist.append(None)
+                        continue
+                    rf = np.empty(nl + 1, np.int64)
+                    rf[:nl] = rp[i][srcn]
+                    rf[nl] = rp[i][T]
+                    rlist.append(rf)
             return (out[:nl].copy(), mapped, out_ident, float(out_weak[0]),
-                    stats[:nl].copy() if stats is not None else None)
+                    stats[:nl].copy() if stats is not None else None, rlist)
     T = len(tpl)
     sub_votes = np.zeros((T, 4), dtype=np.float64)
     del_votes = np.zeros(T, dtype=np.float64)
@@ -149,7 +182,7 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
         if pending_ins:
             ins_votes[j][tuple(pending_ins)] += 1
     if n_mapped == 0:
-        return None, mapped, idents, 1.0, None
+        return None, mapped, idents, 1.0, None, None
 
     out: list[int] = []
     st: list[tuple] = []
@@ -187,7 +220,8 @@ def _pileup_consensus(tpl: np.ndarray, aligned_reads: list[np.ndarray],
             st.extend([(covj, cnt, covj - cnt)] * len(seq))
     stats = (np.asarray(st, dtype=np.float32).reshape(-1, 3)
              if want_stats else None)
-    return np.asarray(out, dtype=np.int8), mapped, idents, weak_frac, stats
+    return (np.asarray(out, dtype=np.int8), mapped, idents, weak_frac,
+            stats, None)
 
 
 def _try_backbone(subreads, full_length, backbone_i: int,
@@ -231,6 +265,7 @@ def _try_backbone(subreads, full_length, backbone_i: int,
     idents = np.zeros(n)
     weak = 1.0
     pos_stats = None
+    rpos_vote = None
     for r in range(rounds):
         ridx = vote_idx if r == rounds - 1 else vote_idx[:6]
         final = r == rounds - 1
@@ -239,9 +274,10 @@ def _try_backbone(subreads, full_length, backbone_i: int,
         # 12/16 measured accuracy-identical to 16/24 (35.9 vs 36.0 draft
         # err/kb, 20x 2kb/10-pass SNR-9 ZMWs) — anchors center the band
         # and guided_affine retries at 2x on escape.
-        draft, mapped, idents_v, weak, stats = _pileup_consensus(
+        draft, mapped, idents_v, weak, stats, rlist = _pileup_consensus(
             tpl, [oriented[i] for i in ridx], min_identity=min_identity,
-            band=12 if not final else 16, want_stats=final)
+            band=12 if not final else 16, want_stats=final,
+            want_rpos=final)
         if draft is None or len(draft) == 0:
             return DraftResult(None, strands, [False] * n, 0), 0.0, 1.0
         tpl = draft
@@ -249,6 +285,7 @@ def _try_backbone(subreads, full_length, backbone_i: int,
             mapped_last = mapped
             idents[:len(idents_v)] = idents_v
             pos_stats = stats
+            rpos_vote = rlist
     # final mapped flags for ALL subreads vs the final draft
     mapped_all = []
     for i in range(n):
@@ -278,8 +315,16 @@ def _try_backbone(subreads, full_length, backbone_i: int,
             mapped_all[i] = True
     m = np.asarray(mapped_all, bool)
     mean_ident = float(idents[m].mean()) if m.any() else 0.0
+    rpos_all = None
+    if rpos_vote is not None:
+        # vote_idx rows carry real alignment paths; everything else (rare:
+        # beyond-cap reads, rescued flips) falls back to anchor chains
+        rpos_all = [None] * n
+        for pos_i, i in enumerate(vote_idx):
+            if pos_i < len(rpos_vote):
+                rpos_all[i] = rpos_vote[pos_i]
     return (DraftResult(tpl, strands, mapped_all, sum(mapped_all),
-                        pos_stats=pos_stats),
+                        pos_stats=pos_stats, rpos=rpos_all),
             mean_ident, weak)
 
 

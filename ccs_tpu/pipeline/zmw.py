@@ -285,44 +285,61 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     if fl_mapped < max(cfg.min_passes, 1):
         return fail(ZmwStatus.TOO_FEW_PASSES_AFTER_DRAFT_ALIGNMENT)
 
-    # 3. align subreads to draft: anchor chains give window coordinates
-    # (batched — one shared draft k-mer index across all subreads)
+    # 3. align subreads to draft. The draft pileup's final vote round
+    # already computed real affine alignments of the vote-set reads — its
+    # traceback coordinates (dr.rpos) give exact window boundaries for
+    # free. Reads without one (beyond-cap, orientation-rescued) fall back
+    # to anchor chains + interpolation.
     T = len(draft)
     rpos_list: list[Optional[np.ndarray]] = []
     spans = 0
     from ccs_tpu.ops.align import chain_batch
-    oriented_mapped = [dna.revcomp(s.seq) if strand else s.seq
-                       for s, strand, m in zip(subs, dr.strands, dr.mapped)
-                       if m]
-    batch_chains = iter(chain_batch(oriented_mapped, draft))
-    for s, strand, mapped in zip(subs, dr.strands, dr.mapped):
+    need_chain = [i for i, (s, m) in enumerate(zip(subs, dr.mapped))
+                  if m and (dr.rpos is None or i >= len(dr.rpos)
+                            or dr.rpos[i] is None)]
+    chains = {}
+    if need_chain:
+        oriented_nc = [dna.revcomp(subs[i].seq) if dr.strands[i]
+                       else subs[i].seq for i in need_chain]
+        for i, ch in zip(need_chain, chain_batch(oriented_nc, draft)):
+            chains[i] = ch
+    for i, (s, strand, mapped) in enumerate(zip(subs, dr.strands,
+                                                dr.mapped)):
         if not mapped:
             rpos_list.append(None)
             continue
         read = dna.revcomp(s.seq) if strand else s.seq
-        chain = next(batch_chains)
-        if len(chain) < 2:
-            rpos_list.append(None)
-            continue
-        rpos = interp_read_pos(chain, np.arange(T + 1), len(read), T)
-        # pull the slice boundaries at the template ends outward a few bases:
-        # the linear interpolation otherwise cuts off exactly the unaligned
-        # read prefix/suffix that holds the evidence for bases the draft is
-        # missing at its ends (the HMM absorbs true overhangs as insertions)
+        native_rpos = (dr.rpos[i] if dr.rpos is not None
+                       and i < len(dr.rpos) else None)
+        if native_rpos is not None:
+            rpos = native_rpos.copy()
+            spanning = 0.7 * T <= len(read) <= 1.6 * T
+        else:
+            chain = chains.get(i)
+            if chain is None or len(chain) < 2:
+                rpos_list.append(None)
+                continue
+            rpos = interp_read_pos(chain, np.arange(T + 1), len(read), T)
+            # end-to-end span: anchors reach near both draft ends (margin
+            # is fractional but at least a k-mer-placement-limited 60 bp).
+            # At marginal SNR (~85% read accuracy) exact 13-mer anchors
+            # thin out and genuinely spanning reads can miss the end
+            # margins, so a mapped read whose LENGTH is compatible with
+            # the draft also counts — the reference aligns full reads and
+            # has no anchor-density dependence (how-does-ccs-work.md:53-55)
+            margin = max(0.05 * T, 60.0)
+            spanning = (chain[0, 1] < margin
+                        and chain[-1, 1] > T - margin) or \
+                (0.7 * T <= len(read) <= 1.6 * T)
+        # pull the slice boundaries at the template ends outward a few
+        # bases: the window slice otherwise cuts off exactly the unaligned
+        # read prefix/suffix that holds the evidence for bases the draft
+        # is missing at its ends (the HMM absorbs true overhangs as
+        # insertions)
         rpos[0] = max(0, int(rpos[0]) - 6)
         rpos[T] = min(len(read), int(rpos[T]) + 6)
         rpos_list.append(rpos)
-        # end-to-end span: anchors reach near both draft ends (margin is
-        # fractional but at least a k-mer-placement-limited 60 bp). At
-        # marginal SNR (~85% read accuracy) exact 13-mer anchors thin out
-        # and genuinely spanning reads can miss the end margins, so a
-        # mapped read whose LENGTH is compatible with the draft also counts
-        # — the reference aligns full reads and has no anchor-density
-        # dependence (how-does-ccs-work.md:53-55).
-        margin = max(0.05 * T, 60.0)
-        if (chain[0, 1] < margin and chain[-1, 1] > T - margin) or \
-                (0.7 * T <= len(read) <= 1.6 * T):
-            spans += 1
+        spans += bool(spanning)
     if spans < max(cfg.min_passes, 1):
         return fail(ZmwStatus.INSUFFICIENT_SPANS)
 
