@@ -40,21 +40,27 @@ import jax.numpy as jnp
 NEG = -1e30
 KINDS = 9  # 4 sub + 1 del + 4 ins per position
 
-# Mean dense-scored p_err at NON-candidate positions by (snr_bin, coverage)
-# — regenerate with tools/fit_clean_qv.py (simulator, dense scoring, the
-# production candidate rule). Used by clean_perr() in sparse mode (C7).
-# Filled from the fit; rows = 8 snr bins, cols = coverage 0..40 (clipped).
+# Mean dense-scored p_err at NON-candidate CORE positions by (snr_bin,
+# coverage) — fit by tools/fit_clean_qv.py (simulator, dense scoring, the
+# production candidate rule; measured cells + log-linear interpolation).
+# Used by clean_perr() in sparse mode (C7). Rows = 8 snr bins, cols =
+# coverage 0..40 (clipped). E.g. snr bin 4: QV 15/32/46/72 at coverage
+# 4/10/16/22 — the conditional MEAN, so rq stays calibrated in expectation
+# (the tail is real: rare missed-candidate sites carry most of the mass).
 import numpy as _np
+import os as _os
 
 def _clean_perr_default():
-    # provisional log-linear fit (overwritten by tools/fit_clean_qv.py's
-    # committed constants when regenerated): p = 10^-(a + b*cov), floored
-    cov = _np.arange(41, dtype=_np.float64)
-    rows = []
-    for s in range(8):
-        a, b = 1.0, 0.22
-        rows.append(_np.minimum(10.0 ** -(a + b * cov), 0.25))
-    return _np.asarray(rows, dtype=_np.float32)
+    path = _os.path.join(_os.path.dirname(__file__), "..", "models",
+                         "data", "clean_perr_v0.npy")
+    try:
+        return _np.load(path).astype(_np.float32)
+    except OSError:
+        # fallback: log-linear in coverage, close to the snr-bin-4 fit
+        cov = _np.arange(41, dtype=_np.float64)
+        return _np.asarray(
+            [_np.minimum(10.0 ** -(1.0 + 0.22 * cov), 0.25)] * 8,
+            dtype=_np.float32)
 
 CLEAN_PERR_V0 = _clean_perr_default()
 

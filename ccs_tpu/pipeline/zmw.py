@@ -106,6 +106,21 @@ class ZmwWorkItem:
         return self.batch is None
 
 
+
+def _median_val(vals) -> float:
+    """np.median semantics (mean of middle two for even n) without the
+    ~85 us/call numpy list-conversion overhead — prepare calls this ~9x
+    per ZMW on lists of ~10 lengths."""
+    sv = sorted(vals)
+    n = len(sv)
+    if n == 0:
+        return 0.0
+    mid = n // 2
+    if n % 2:
+        return float(sv[mid])
+    return (sv[mid - 1] + sv[mid]) / 2.0
+
+
 def split_by_strand(zmw: ZmwInput) -> tuple[ZmwInput, ZmwInput]:
     """--by-strand (mode-by-strand.md:16-23): orient subreads against the
     median-length read, bucket into fwd/rev, each strand runs the full
@@ -129,10 +144,10 @@ def split_by_strand(zmw: ZmwInput) -> tuple[ZmwInput, ZmwInput]:
 def median_length_filter(subreads: list[Subread]) -> list[int]:
     """Keep subreads within 50%..200% of the median subread length
     (how-does-ccs-work.md:24,27-32)."""
-    lengths = np.asarray([len(s.seq) for s in subreads], dtype=np.float64)
-    med = np.median(lengths)
-    keep = (lengths >= 0.5 * med) & (lengths <= 2.0 * med)
-    return [i for i in range(len(subreads)) if keep[i]]
+    lengths = [len(s.seq) for s in subreads]
+    med = _median_val(lengths)
+    return [i for i, ln in enumerate(lengths)
+            if 0.5 * med <= ln <= 2.0 * med]
 
 
 def cap_top_passes(subreads: list[Subread], top: int) -> list[int]:
@@ -141,7 +156,7 @@ def cap_top_passes(subreads: list[Subread], top: int) -> list[int]:
     if top <= 0 or len(subreads) <= top:
         return list(range(len(subreads)))
     lengths = np.asarray([len(s.seq) for s in subreads], dtype=np.float64)
-    med = np.median(lengths)
+    med = _median_val([len(s.seq) for s in subreads])
     order = np.argsort(np.abs(lengths - med), kind="stable")[:top]
     return sorted(int(i) for i in order)
 
@@ -208,7 +223,7 @@ def prepare_zmw(zmw: ZmwInput, cfg: CcsConfig,
     if not keep:
         return fail(ZmwStatus.NO_SUBREADS)
     subs = [subs[i] for i in keep]
-    med_len = int(np.median([len(s.seq) for s in subs]))
+    med_len = int(_median_val([len(s.seq) for s in subs]))
     res.insert_size = med_len  # until draft/polish overrides
 
     # full-length pass count (how-does-ccs-work.md:25)
