@@ -147,7 +147,7 @@ def _window_batch(n_windows, rng, params):
             tl = int(tlen[b])
             rds = [reads[b, c, :rlens[b, c]] for c in range(C)
                    if rlens[b, c] > 0]
-            _d, _m, _i, _w, st = _pileup_consensus(
+            _d, _m, _i, _w, st, _r = _pileup_consensus(
                 tpl[b, :tl], rds, want_stats=True)
             if st is not None and len(st) == tl:
                 pri = candidate_priority_from_stats(tpl[b, :tl], st)

@@ -109,6 +109,10 @@ class CcsConfig:
     tpu_use_pw: bool = True            # condition the polisher on pulse
                                        # widths when the input carries them
                                        # (how-does-ccs-work.md:88-95)
+    tpu_prepare_processes: bool = True  # -j pool uses worker PROCESSES for
+                                        # the host prepare phase (the GIL
+                                        # serializes ~40% of prepare under
+                                        # threads); 0 = thread pool
     tpu_profile_dir: Optional[str] = None  # write a jax.profiler trace of
                                            # the run here (SURVEY §5 tracing)
     tpu_dc_polish: bool = False        # learned low-QV window refinement

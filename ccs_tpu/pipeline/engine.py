@@ -49,6 +49,59 @@ def _load_control(cfg: CcsConfig):
     return next(iter(seqs.values()))
 
 
+def prepare_many(zmws: Sequence[ZmwInput], cfg: CcsConfig, params,
+                 control) -> list[ZmwWorkItem]:
+    """Host prepare for a batch — a PURE function of (zmws, cfg, params,
+    control) so the orchestrator can run it in worker PROCESSES: the
+    prepare path is numpy + the GIL-releasing native aligner, but ~40% of
+    its wall is Python that serializes under threads on a 2-core host
+    (measured 19.7 vs 13 ms/ZMW thread-time at -j2). jax is never touched
+    here, so workers stay clean of the device runtime."""
+    work: list[tuple[ZmwInput, str]] = []
+    for z in zmws:
+        if cfg.by_strand:
+            from ccs_tpu.pipeline.zmw import split_by_strand
+            f, r = split_by_strand(z)
+            work.append((f, "fwd"))
+            work.append((r, "rev"))
+        else:
+            work.append((z, ""))
+
+    items: list[ZmwWorkItem] = []
+    for z, strand in work:
+        try:
+            item = prepare_zmw(z, cfg, params.snr_edges,
+                               control=control, params=params)
+        except Exception:  # noqa: BLE001 — failures are data (SURVEY §5)
+            logger.exception("prepare failed for ZMW %s", z.hole)
+            res = ConsensusResult(hole=z.hole, movie=z.movie,
+                                  status=ZmwStatus.EXCEPTION_THROWN)
+            item = ZmwWorkItem(z, res, None)
+        if (cfg.hd_finder and not strand
+                and item.result.status == ZmwStatus.HETERODUPLEXES):
+            # --hd-finder: split the heteroduplex ZMW on the fly into
+            # single-strand runs (mode-heteroduplex-filtering.md:25-39)
+            from ccs_tpu.pipeline.zmw import split_by_strand
+            import dataclasses as _dc
+            ss_cfg = _dc.replace(cfg, by_strand=True, hd_finder=False)
+            for zz, ss in zip(split_by_strand(z), ("fwd", "rev")):
+                try:
+                    ss_item = prepare_zmw(zz, ss_cfg, params.snr_edges,
+                                          control=control, params=params)
+                except Exception:  # noqa: BLE001
+                    logger.exception("ss prepare failed for ZMW %s", z.hole)
+                    ss_res = ConsensusResult(
+                        hole=z.hole, movie=z.movie,
+                        status=ZmwStatus.EXCEPTION_THROWN)
+                    ss_item = ZmwWorkItem(zz, ss_res, None)
+                ss_item.result.strand = ss
+                items.append(ss_item)
+            continue
+        item.result.strand = strand
+        items.append(item)
+    return items
+
+
 class CcsEngine:
     """Stateless-per-batch CCS engine over one set of Arrow parameters.
 
@@ -161,51 +214,7 @@ class CcsEngine:
                 self.t_prepare += _time.monotonic() - _t0
 
     def _prepare_batch(self, zmws: Sequence[ZmwInput]) -> list[ZmwWorkItem]:
-        work: list[tuple[ZmwInput, str]] = []
-        for z in zmws:
-            if self.cfg.by_strand:
-                from ccs_tpu.pipeline.zmw import split_by_strand
-                f, r = split_by_strand(z)
-                work.append((f, "fwd"))
-                work.append((r, "rev"))
-            else:
-                work.append((z, ""))
-
-        items: list[ZmwWorkItem] = []
-        for z, strand in work:
-            try:
-                item = prepare_zmw(z, self.cfg, self.params.snr_edges,
-                                   control=self.control, params=self.params)
-            except Exception:  # noqa: BLE001 — failures are data (SURVEY §5)
-                logger.exception("prepare failed for ZMW %s", z.hole)
-                res = ConsensusResult(hole=z.hole, movie=z.movie,
-                                      status=ZmwStatus.EXCEPTION_THROWN)
-                item = ZmwWorkItem(z, res, None)
-            if (self.cfg.hd_finder and not strand
-                    and item.result.status == ZmwStatus.HETERODUPLEXES):
-                # --hd-finder: split the heteroduplex ZMW on the fly into
-                # single-strand runs (mode-heteroduplex-filtering.md:25-39)
-                from ccs_tpu.pipeline.zmw import split_by_strand
-                import dataclasses as _dc
-                ss_cfg = _dc.replace(self.cfg, by_strand=True, hd_finder=False)
-                for zz, ss in zip(split_by_strand(z), ("fwd", "rev")):
-                    try:
-                        ss_item = prepare_zmw(zz, ss_cfg,
-                                              self.params.snr_edges,
-                                              control=self.control,
-                                              params=self.params)
-                    except Exception:  # noqa: BLE001
-                        logger.exception("ss prepare failed for ZMW %s", z.hole)
-                        ss_res = ConsensusResult(
-                            hole=z.hole, movie=z.movie,
-                            status=ZmwStatus.EXCEPTION_THROWN)
-                        ss_item = ZmwWorkItem(zz, ss_res, None)
-                    ss_item.result.strand = ss
-                    items.append(ss_item)
-                continue
-            item.result.strand = strand
-            items.append(item)
-        return items
+        return prepare_many(zmws, self.cfg, self.params, self.control)
 
     def finalize_batch(self, items: list[ZmwWorkItem]) -> list[ConsensusResult]:
         """Device phase + stitch: polish all live items, return results."""

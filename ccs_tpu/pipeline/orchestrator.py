@@ -35,6 +35,34 @@ from ccs_tpu.pipeline.zmw import ConsensusResult, ZmwInput
 
 _DONE = object()
 
+# cached spawn-based prepare pool (created once per process; spawn —
+# NOT fork — because the main process holds an initialized, multithreaded
+# jax runtime and forking it risks allocator/lock deadlocks in children).
+# Workers import only the numpy/native prepare path, never jax.
+_PROC_POOL = None
+_PROC_POOL_SIZE = 0
+
+
+def _pp_task(zmws, cfg, params, control):
+    import time as _t
+    from ccs_tpu.pipeline.engine import prepare_many
+    t0 = _t.monotonic()
+    items = prepare_many(zmws, cfg, params, control)
+    return items, _t.monotonic() - t0
+
+
+def _get_proc_pool(n: int):
+    global _PROC_POOL, _PROC_POOL_SIZE
+    if _PROC_POOL is not None and _PROC_POOL_SIZE == n:
+        return _PROC_POOL
+    if _PROC_POOL is not None:
+        _PROC_POOL.shutdown(wait=False)
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    _PROC_POOL = ProcessPoolExecutor(n, mp_context=mp.get_context("spawn"))
+    _PROC_POOL_SIZE = n
+    return _PROC_POOL
+
 
 def run_pipeline(engine: CcsEngine,
                  zmw_iter: Iterable[ZmwInput],
@@ -95,20 +123,47 @@ def run_pipeline(engine: CcsEngine,
         if batch:
             in_q.put(batch)
 
+    use_procs = bool(getattr(engine.cfg, "tpu_prepare_processes", False)) \
+        and n_threads > 1
+
     def preparer():
         # split each batch into contiguous sub-chunks across the pool
-        # (order-preserving), forward the future list in order
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            while True:
-                batch = in_q.get()
-                if batch is _DONE:
-                    break
-                if errors:
-                    return
-                step = max(1, -(-len(batch) // n_threads))
-                futs = [pool.submit(engine.prepare_batch, batch[i:i + step])
-                        for i in range(0, len(batch), step)]
-                prep_q.put((futs, len(batch)))
+        # (order-preserving), forward the future list in order. Process
+        # workers (default) sidestep the GIL serialization of prepare's
+        # Python share (~40% of thread-pool wall at -j2, measured); the
+        # thread pool remains as the fallback (tpu_prepare_processes=0).
+        if use_procs:
+            pool = _get_proc_pool(n_threads)
+
+            def submit(chunk):
+                return pool.submit(_pp_task, chunk, engine.cfg,
+                                   engine.params, engine.control)
+
+            def run():
+                while True:
+                    batch = in_q.get()
+                    if batch is _DONE:
+                        break
+                    if errors:
+                        return
+                    step = max(1, -(-len(batch) // n_threads))
+                    futs = [submit(batch[i:i + step])
+                            for i in range(0, len(batch), step)]
+                    prep_q.put((futs, len(batch)))
+            run()
+        else:
+            with ThreadPoolExecutor(max_workers=n_threads) as tpool:
+                while True:
+                    batch = in_q.get()
+                    if batch is _DONE:
+                        break
+                    if errors:
+                        return
+                    step = max(1, -(-len(batch) // n_threads))
+                    futs = [tpool.submit(engine.prepare_batch,
+                                         batch[i:i + step])
+                            for i in range(0, len(batch), step)]
+                    prep_q.put((futs, len(batch)))
 
     def writer():
         while True:
@@ -133,7 +188,16 @@ def run_pipeline(engine: CcsEngine,
             if errors:
                 break
             futs, n_in = got
-            items = [it for f in futs for it in f.result()]
+            items = []
+            for f in futs:
+                r = f.result()
+                if isinstance(r, tuple):   # process worker: (items, dt)
+                    part, dt = r
+                    with engine._t_lock:
+                        engine.t_prepare += dt
+                    items.extend(part)
+                else:
+                    items.extend(r)
             results = engine.finalize_batch(items)
             while not errors:  # don't block forever on a dead writer
                 try:

@@ -53,6 +53,9 @@ def test_pipeline_matches_serial(engine, zmws):
 
 
 def test_num_threads_used(engine, zmws):
+    # thread-pool fallback path (tpu_prepare_processes=0): the spy can see
+    # the worker threads. The default PROCESS pool cannot be monkeypatched
+    # from here; its fan-out is covered by test_process_pool_used.
     seen = set()
     orig = engine.prepare_batch
 
@@ -62,11 +65,24 @@ def test_num_threads_used(engine, zmws):
         return orig(batch)
 
     engine.prepare_batch = spy
+    engine.cfg.tpu_prepare_processes = False
     try:
         _collect(engine, zmws, batch_size=4, num_threads=3, input_buffer=4)
     finally:
         engine.prepare_batch = orig
+        engine.cfg.tpu_prepare_processes = True
     assert len(seen) >= 2, seen  # -j fans prepare over worker threads
+
+
+def test_process_pool_used(engine, zmws):
+    # default path: prepare fans out over worker PROCESSES (the GIL
+    # serializes the Python share of prepare under threads)
+    from ccs_tpu.pipeline import orchestrator as orch
+    assert engine.cfg.tpu_prepare_processes
+    out = _collect(engine, zmws, batch_size=4, num_threads=2,
+                   input_buffer=4)
+    assert orch._PROC_POOL is not None and orch._PROC_POOL_SIZE == 2
+    assert len(out) == len(zmws)
 
 
 def test_input_buffer_bounds_readahead(engine, zmws):
