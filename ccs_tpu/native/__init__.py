@@ -109,6 +109,13 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p,                   # out_rpos [n,(T+1)] i64 or NULL
                 ctypes.c_void_p,                   # out_src [cap] i32 or NULL
             ]
+            fd = _LIB.ccs_dust_profile
+            fd.restype = ctypes.c_int64
+            fd.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # seq, n
+                ctypes.c_int64,                    # window
+                ctypes.c_void_p,                   # out_scores f64
+            ]
             fi = _LIB.ccs_guided_identity
             fi.restype = ctypes.c_double
             fi.argtypes = [

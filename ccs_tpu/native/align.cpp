@@ -838,6 +838,40 @@ int64_t ccs_pileup_draft(const int8_t* tpl, int64_t T,
     return n_mapped;
 }
 
+// Sliding DUST triplet score profile (component C13): score[s] =
+// sum_t C(c_t, 2) / (w_trip - 1) over the w_trip triplets starting at s.
+// Incremental window update (exact integer pair counts) — the NumPy
+// difference-array formulation runs one vectorized pass per lag (~60
+// passes over the draft) and was ~1.4 ms per 2 kb ZMW of host prepare.
+// seq: int8 codes (negatives clipped to 0, matching the oracle).
+int64_t ccs_dust_profile(const int8_t* seq, int64_t n_seq, int64_t window,
+                         double* out_scores) {
+    const int64_t n = n_seq - 2;           // triplet count
+    if (n <= 0) return 0;
+    thread_local std::vector<int32_t> trip_s;
+    trip_s.resize(size_t(n));
+    int32_t* trip = trip_s.data();
+    auto code = [&](int64_t i) -> int32_t {
+        int32_t b = seq[i];
+        return b < 0 ? 0 : (b > 3 ? 3 : b);
+    };
+    for (int64_t i = 0; i < n; ++i)
+        trip[i] = code(i) * 16 + code(i + 1) * 4 + code(i + 2);
+    const int64_t w = window - 2 < n ? window - 2 : n;  // triplets/window
+    int32_t cnt[64] = {0};
+    int64_t pairs = 0;
+    for (int64_t i = 0; i < w; ++i) pairs += cnt[trip[i]]++;
+    const int64_t n_out = n - w + 1;
+    const double denom = double(w - 1 > 1 ? w - 1 : 1);
+    out_scores[0] = double(pairs) / denom;
+    for (int64_t s = 1; s < n_out; ++s) {
+        pairs -= --cnt[trip[s - 1]];
+        pairs += cnt[trip[s + w - 1]]++;
+        out_scores[s] = double(pairs) / denom;
+    }
+    return n_out;
+}
+
 // Anchor-guided affine alignment identity (the draft-acceptance check for
 // reads beyond the vote set). Returns n_match/ops_len, or -1.0 if the read
 // does not align within any band.

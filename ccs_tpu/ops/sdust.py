@@ -28,7 +28,22 @@ def _triplet_codes(seq: np.ndarray) -> np.ndarray:
 
 def dust_score_profile(seq: np.ndarray, window: int = DUST_WINDOW) -> np.ndarray:
     """Per-position DUST score: sum over triplets t of c_t*(c_t-1)/2 divided
-    by (w-1), computed in a sliding window (one score per window start)."""
+    by (w-1), computed in a sliding window (one score per window start).
+
+    Dispatches to the native incremental kernel (exact integer pair
+    counts); the difference-array formulation below is the oracle/fallback
+    (CCS_TPU_NO_NATIVE=1)."""
+    from ccs_tpu import native
+    lib = native.load()
+    if lib is not None and hasattr(lib, "ccs_dust_profile") and len(seq) >= 3:
+        import ctypes
+        s8 = np.ascontiguousarray(seq, dtype=np.int8)
+        n_out_cap = max(len(s8) - 2, 1)
+        out = np.empty(n_out_cap, dtype=np.float64)
+        n_out = lib.ccs_dust_profile(
+            s8.ctypes.data_as(ctypes.c_void_p), len(s8), int(window),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out[:max(int(n_out), 0)]
     trip = _triplet_codes(seq)
     n = len(trip)
     if n == 0:

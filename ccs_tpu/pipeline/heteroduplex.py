@@ -63,11 +63,27 @@ def detect_heteroduplex(rpos_list: Sequence[Optional[np.ndarray]],
     absorbs a one-strand insertion and smears the divergence over more
     than one probe span, capping the measured difference below threshold —
     wider spans integrate the whole event (measured: a 40 bp heteroduplex
-    at ~14%/base error peaked at 18 under the 64 bp probe alone)."""
+    at ~14%/base error peaked at 18 under the 64 bp probe alone).
+
+    One stacked [S, T+1] coordinate matrix serves all three scales
+    (identical math to per-scale strand_span_difference: the constant
+    -span inside each strand's median cancels in the difference)."""
+    live = [(r, s) for r, s in zip(rpos_list, strands) if r is not None]
+    if not live:
+        return False
+    st = np.asarray([s for _, s in live])
+    if not (st == 0).any() or not (st == 1).any():
+        return False
+    R = np.stack([np.asarray(r, dtype=np.int64) for r, _ in live])
+    fwd = st == 0
     for span in (PROBE_SPAN, 2 * PROBE_SPAN, 4 * PROBE_SPAN):
-        diff = strand_span_difference(rpos_list, strands, draft_len,
-                                      span=span)
-        if len(diff) and np.max(diff) >= min_len:
+        if draft_len < span * 2:
+            continue
+        probes = np.arange(0, draft_len - span, PROBE_STEP)
+        spans = R[:, probes + span] - R[:, probes]        # [S, P]
+        med_f = np.median(spans[fwd], axis=0)
+        med_r = np.median(spans[~fwd], axis=0)
+        if len(probes) and np.max(np.abs(med_f - med_r)) >= min_len:
             return True
     return False
 
