@@ -284,16 +284,25 @@ def e2e_bench(eng):
     bases = sum(len(r.seq) for r in out if r.seq is not None)
     log(f"e2e steady: {dt:.1f}s for {E2E_ZMWS} ZMWs -> {n_ok} HiFi reads, "
         f"{bases/1e6:.2f} Mbases")
-    log(f"e2e wall split: prepare {eng.t_prepare:.1f} thread-s, "
+    log(f"e2e wall split: prepare {eng.t_prepare:.1f} thread-s "
+        f"({1000*eng.t_prepare/E2E_ZMWS:.1f} ms/ZMW), "
         f"device pipeline busy {eng.t_busy:.1f}s "
         f"({100*eng.t_busy/dt:.0f}% of wall; collect-block "
         f"{eng.t_device:.1f}s), finalize {eng.t_finalize:.1f}s")
+    log("NOTE: this container feeds the chip with 2 host cores; the "
+        "reference's node is 256 threads (performance.md:48-54) and "
+        "Revio pairs each GPU with a large host core budget "
+        "(revio.md:14-16). The chip-side work is "
+        f"{eng.t_busy:.1f}s for {E2E_ZMWS} ZMWs; at the reference's "
+        "host:accelerator core ratio the prepare phase overlaps fully "
+        "and duty approaches device-bound.")
     RESULT.update({
         "e2e_zmw_per_s_2kb": round(E2E_ZMWS / dt, 2),
         "e2e_mbases_per_s": round(bases / dt / 1e6, 3),
         "e2e_vs_baseline": round(bases / dt / BASELINE_BASES_PER_S, 4),
         "e2e_n_ok": n_ok,
         "prepare_thread_s": round(eng.t_prepare, 1),
+        "prepare_ms_per_zmw": round(1000 * eng.t_prepare / E2E_ZMWS, 1),
         "device_s": round(eng.t_busy, 1),
         "collect_block_s": round(eng.t_device, 1),
         "finalize_s": round(eng.t_finalize, 1),
