@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 
 from ccs_tpu.ops import dna
-from ccs_tpu.ops.align import align_with_retry, anchor_chain, guided_align
+from ccs_tpu.ops.align import anchor_chain, guided_align
 
 
 @dataclasses.dataclass

@@ -14,14 +14,13 @@ Split into three phases so the device work batches across many ZMWs:
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Optional
 
 import numpy as np
 
 from ccs_tpu.config import CcsConfig
 from ccs_tpu.ops import dna
-from ccs_tpu.ops.align import anchor_chain, guided_align, interp_read_pos
+from ccs_tpu.ops.align import anchor_chain, interp_read_pos
 from ccs_tpu.ops.sdust import has_long_tandem_repeat
 from ccs_tpu.pipeline.draft import generate_draft
 from ccs_tpu.pipeline.heteroduplex import (detect_heteroduplex,
@@ -31,7 +30,7 @@ from ccs_tpu.pipeline.adapters import (AdapterInfo, adapter_counts,
                                        FF_ADAPTER_CONCAT,
                                        FF_ADAPTER_PALINDROME,
                                        FF_ADAPTER_RESIDUE,
-                                       FF_BELOW_Q20, FF_CONTROL,
+                                       FF_BELOW_Q20,
                                        FF_MEDIAN_SUBREAD, FF_SINGLE_STRAND)
 from ccs_tpu.pipeline.kinetics import KineticsEntry, KineticsResult
 from ccs_tpu.pipeline.windows import WindowBatch, build_window_batch
