@@ -56,16 +56,21 @@ def test_resume_matches_uninterrupted(cell, monkeypatch):
     wm = json.load(open(os.path.join(ck, "watermark.json")))
     assert wm["n_batches"] == 2 and wm["last_hole"] == 3
 
-    # run 2: resume; only the remaining ZMWs are processed
+    # run 2: resume; only the remaining ZMWs are processed. Spy on the
+    # pipeline's input stream in the MAIN process (prepare itself fans out
+    # over worker processes, which a monkeypatch cannot see).
     seen_holes = []
-    from ccs_tpu.pipeline.engine import CcsEngine
-    orig_prep = CcsEngine.prepare_batch
+    import ccs_tpu.pipeline.orchestrator as orch
+    orig_rp = orch.run_pipeline
 
-    def spy(self, zmws):
-        seen_holes.extend(z.hole for z in zmws)
-        return orig_prep(self, zmws)
+    def spy_rp(engine, zmw_iter, emit, **kw):
+        def watched():
+            for z in zmw_iter:
+                seen_holes.append(z.hole)
+                yield z
+        return orig_rp(engine, watched(), emit, **kw)
 
-    monkeypatch.setattr(CcsEngine, "prepare_batch", spy)
+    monkeypatch.setattr(orch, "run_pipeline", spy_rp)
     assert run([inp, out, "--min-rq", "0.9", "--batch-size", "2",
                 "--suppress-reports", "--tpu-resume-dir", ck]) == 0
     assert min(seen_holes) >= 4, seen_holes  # holes 0..3 were not reprocessed
