@@ -136,8 +136,15 @@ def run_pipeline(engine: CcsEngine,
             pool = _get_proc_pool(n_threads)
 
             def submit(chunk):
-                return pool.submit(_pp_task, chunk, engine.cfg,
-                                   engine.params, engine.control)
+                global _PROC_POOL
+                try:
+                    return pool.submit(_pp_task, chunk, engine.cfg,
+                                       engine.params, engine.control)
+                except Exception:  # noqa: BLE001 — broken pool: one rebuild
+                    _PROC_POOL = None
+                    fresh = _get_proc_pool(n_threads)
+                    return fresh.submit(_pp_task, chunk, engine.cfg,
+                                        engine.params, engine.control)
 
             def run():
                 while True:
