@@ -277,8 +277,10 @@ def e2e_bench(eng):
     out = []
     eng.t_prepare = eng.t_device = eng.t_finalize = eng.t_busy = 0.0
     t0 = time.time()
+    # batch 64: the pipeline's first-fill edge (reader+prepare of batch 1
+    # with the device idle) halves vs 128; steady-state overlap unchanged
     run_pipeline(eng, iter(zmws), lambda r, n: out.extend(r),
-                 batch_size=128, num_threads=0, input_buffer=4)
+                 batch_size=64, num_threads=0, input_buffer=4)
     dt = time.time() - t0
     n_ok = _status_report(out, "e2e 2kb statuses")
     bases = sum(len(r.seq) for r in out if r.seq is not None)
@@ -341,7 +343,7 @@ def e2e_15kb_bench(eng):
         out: list = []
         t0 = time.time()
         run_pipeline(eng, iter(zmws), lambda r, n: out.extend(r),
-                     batch_size=16, num_threads=0, input_buffer=4)
+                     batch_size=8, num_threads=0, input_buffer=4)
         dt = time.time() - t0
         n_ok = _status_report(out, f"e2e 15kb seed {seed} statuses")
         bases = sum(len(r.seq) for r in out if r.seq is not None)
