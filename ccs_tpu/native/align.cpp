@@ -20,9 +20,47 @@
 #include <utility>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define CCS_AVX512 1
+#endif
+
 namespace {
 constexpr int64_t BIG = int64_t(1) << 30;
 constexpr int8_t M_DIAG = 0, M_UP = 1, M_LEFT = 2;
+
+#ifdef CCS_AVX512
+// Exclusive prefix-min over s[0..n) into pm[0..n) (pm[k] = min of s[0..k-1],
+// pm[0] = init). Log-step lane shifts inside each 16-lane block + a scalar
+// carry between blocks — min is associative, so this is bit-identical to
+// the sequential scan it replaces.
+inline void prefix_min_exclusive(const int32_t* s, int32_t* pm, int64_t n,
+                                 int32_t init) {
+    const __m512i vbig = _mm512_set1_epi32(init);
+    int32_t carry = init;
+    for (int64_t k = 0; k < n; k += 16) {
+        const int nn = int(n - k < 16 ? n - k : 16);
+        const __mmask16 mk = __mmask16((1u << (nn & 31)) - 1u | (nn == 16 ? 0xFFFFu : 0u));
+        __m512i x = _mm512_mask_loadu_epi32(vbig, mk, s + k);
+        // inclusive prefix-min within the block
+        x = _mm512_min_epi32(x, _mm512_alignr_epi32(x, vbig, 15));  // shift 1
+        x = _mm512_min_epi32(x, _mm512_alignr_epi32(x, vbig, 14));  // shift 2
+        x = _mm512_min_epi32(x, _mm512_alignr_epi32(x, vbig, 12));  // shift 4
+        x = _mm512_min_epi32(x, _mm512_alignr_epi32(x, vbig, 8));   // shift 8
+        // exclusive = inclusive shifted down one, carry at lane 0
+        __m512i carry_v = _mm512_set1_epi32(carry);
+        __m512i excl = _mm512_alignr_epi32(x, _mm512_setzero_si512(), 15);
+        excl = _mm512_mask_mov_epi32(excl, __mmask16(1), carry_v);
+        excl = _mm512_min_epi32(excl, carry_v);
+        _mm512_mask_storeu_epi32(pm + k, mk, excl);
+        // block carry: min(carry, inclusive min of the block's live lanes)
+        alignas(64) int32_t tmp[16];
+        _mm512_store_si512(reinterpret_cast<__m512i*>(tmp), x);
+        const int32_t last = tmp[nn - 1];
+        carry = last < carry ? last : carry;
+    }
+}
+#endif
 }
 
 extern "C" {
@@ -229,6 +267,52 @@ int64_t affine_core(const int8_t* read, int64_t R,
             int32_t* __restrict__ ub = ubuf;
             int32_t* __restrict__ cI = curI;
             int8_t* __restrict__ mr = mrow;
+#ifdef CCS_AVX512
+            // 16 cells per iteration; masked loads/stores fault-suppress the
+            // tail lanes, so only in-range (interior-guaranteed) lanes touch
+            // memory. Bit-identical to the scalar loop below. Pass B1's
+            // shifted value s = u - k*ge is fused in (one loop fewer per
+            // row; the boundary cells get theirs in the prologue below).
+            const __m512i v_sub = _mm512_set1_epi32(sub_cost);
+            const __m512i v_goge = _mm512_set1_epi32(go_ge);
+            const __m512i v_ge = _mm512_set1_epi32(gap_ext);
+            const __m512i v_up = _mm512_set1_epi32(int32_t(M_UP));
+            const __m512i v_diag = _mm512_set1_epi32(int32_t(M_DIAG));
+            const __m512i v_four = _mm512_set1_epi32(4);
+            const __m512i v_rc = _mm512_set1_epi32(int32_t(rc));
+            const __m512i v_iota = _mm512_setr_epi32(
+                0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+            int32_t* __restrict__ sbA = sbuf;
+            for (int64_t k = klo; k <= khi; k += 16) {
+                const int nn = int(khi - k + 1 < 16 ? khi - k + 1 : 16);
+                const __mmask16 mk = __mmask16(
+                    nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
+                const __m512i pVd = _mm512_maskz_loadu_epi32(mk, pVs + k - 1);
+                const __m512i pV = _mm512_maskz_loadu_epi32(mk, pVs + k);
+                const __m512i pI = _mm512_maskz_loadu_epi32(mk, pIs + k);
+                const __m128i t8 = _mm_maskz_loadu_epi8(mk, tj + k);
+                const __m512i tv = _mm512_cvtepi8_epi32(t8);
+                const __mmask16 meq = _mm512_cmpeq_epi32_mask(tv, v_rc);
+                const __m512i m_val = _mm512_mask_mov_epi32(
+                    _mm512_add_epi32(pVd, v_sub), meq, pVd);
+                const __m512i i_open = _mm512_add_epi32(pV, v_goge);
+                const __m512i i_ext = _mm512_add_epi32(pI, v_ge);
+                const __mmask16 mext = _mm512_cmple_epi32_mask(i_ext, i_open);
+                const __m512i i_val = _mm512_min_epi32(i_ext, i_open);
+                const __mmask16 mdiag = _mm512_cmple_epi32_mask(m_val, i_val);
+                const __m512i u = _mm512_min_epi32(m_val, i_val);
+                _mm512_mask_storeu_epi32(ub + k, mk, u);
+                _mm512_mask_storeu_epi32(cI + k, mk, i_val);
+                __m512i mv = _mm512_mask_mov_epi32(v_up, mdiag, v_diag);
+                mv = _mm512_mask_or_epi32(mv, mext, mv, v_four);
+                _mm_mask_storeu_epi8(mr + k, mk, _mm512_cvtepi32_epi8(mv));
+                const __m512i kk = _mm512_add_epi32(
+                    v_iota, _mm512_set1_epi32(int32_t(k)));
+                _mm512_mask_storeu_epi32(
+                    sbA + k, mk,
+                    _mm512_sub_epi32(u, _mm512_mullo_epi32(kk, v_ge)));
+            }
+#else
             for (int64_t k = klo; k <= khi; ++k) {
                 const int32_t m_val = pVs[k - 1]
                                       + ((tj[k] == rc) ? 0 : sub_cost);
@@ -240,8 +324,16 @@ int64_t affine_core(const int8_t* read, int64_t R,
                 mr[k] = int8_t((m_val <= i_val ? M_DIAG : M_UP)
                                | ((i_ext <= i_open) ? 4 : 0));
             }
+#endif
         }
         for (int64_t k = khi + 1; k < width; ++k) cellA(k);
+#ifdef CCS_AVX512
+        // boundary cells' B1 values (the interior loop fused its own)
+        for (int64_t k = 0; k < klo; ++k)
+            sbuf[k] = ubuf[k] - int32_t(k) * gap_ext;
+        for (int64_t k = khi + 1; k < width; ++k)
+            sbuf[k] = ubuf[k] - int32_t(k) * gap_ext;
+#endif
 
         // ---- pass B: exclusive prefix-min deletion scan, split so only
         // the 1-op/iter min scan stays scalar (B1/B3/B4 auto-vectorize).
@@ -256,14 +348,20 @@ int64_t affine_core(const int8_t* read, int64_t R,
             const int64_t kj_lo = (1 - jbase) > 1 ? (1 - jbase) : 1;  // j>=1
             int64_t dlo = kj_lo > kv_lo ? kj_lo : kv_lo;
             if (dlo < 1) dlo = 1;
-            // B1: shifted values (vector)
+#ifndef CCS_AVX512
+            // B1: shifted values (vector) — fused into pass A on AVX-512
             {
                 const int32_t* __restrict__ ub = ubuf;
                 int32_t* __restrict__ sb = sbuf;
                 for (int64_t k = 0; k < width; ++k)
                     sb[k] = ub[k] - int32_t(k) * gap_ext;
             }
-            // B2: exclusive prefix min (scalar, 1 min/iter)
+#endif
+            // B2: exclusive prefix min (log-step lane shifts on AVX-512;
+            // scalar 1-min/iter chain otherwise — min reassociates exactly)
+#ifdef CCS_AVX512
+            prefix_min_exclusive(sbuf, pmbuf, width, BIG32);
+#else
             {
                 int32_t rm = BIG32;
                 for (int64_t k = 0; k < width; ++k) {
@@ -272,26 +370,74 @@ int64_t affine_core(const int8_t* read, int64_t R,
                     rm = s < rm ? s : rm;
                 }
             }
+#endif
             // B3: deletion candidates (vector); out-of-range stays BIG32
             for (int64_t k = 0; k < width; ++k) dbuf[k] = BIG32;
             if (dlo <= kv_hi) {
                 const int32_t* __restrict__ pm = pmbuf;
                 int32_t* __restrict__ db = dbuf;
+#ifdef CCS_AVX512
+                const __m512i iota = _mm512_setr_epi32(
+                    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+                const __m512i v_ge = _mm512_set1_epi32(gap_ext);
+                const __m512i v_go = _mm512_set1_epi32(gap_open);
+                const __m512i v_big = _mm512_set1_epi32(BIG32);
+                for (int64_t k = dlo; k <= kv_hi; k += 16) {
+                    const int nn = int(kv_hi - k + 1 < 16 ? kv_hi - k + 1
+                                                          : 16);
+                    const __mmask16 mk = __mmask16(
+                        nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
+                    const __m512i rm = _mm512_maskz_loadu_epi32(mk, pm + k);
+                    const __mmask16 ok =
+                        _mm512_cmplt_epi32_mask(rm, v_big) & mk;
+                    const __m512i kk = _mm512_add_epi32(
+                        iota, _mm512_set1_epi32(int32_t(k)));
+                    const __m512i val = _mm512_add_epi32(
+                        rm, _mm512_add_epi32(
+                                _mm512_mullo_epi32(kk, v_ge), v_go));
+                    _mm512_mask_storeu_epi32(
+                        db + k, mk, _mm512_mask_mov_epi32(v_big, ok, val));
+                }
+#else
                 for (int64_t k = dlo; k <= kv_hi; ++k) {
                     const int32_t rm = pm[k];
                     db[k] = rm < BIG32
                         ? rm + int32_t(k) * gap_ext + gap_open : BIG32;
                 }
+#endif
             }
             // B4: D-extension flags for the traceback (vector)
             {
                 const int32_t* __restrict__ db = dbuf;
                 const int32_t* __restrict__ ub = ubuf;
                 drow[0] = 0;
+#ifdef CCS_AVX512
+                const __m512i v_big = _mm512_set1_epi32(BIG32);
+                const __m512i v_ge = _mm512_set1_epi32(gap_ext);
+                const __m512i v_goge = _mm512_set1_epi32(go_ge);
+                const __m512i v_one = _mm512_set1_epi32(1);
+                for (int64_t k = 1; k < width; k += 16) {
+                    const int nn = int(width - k < 16 ? width - k : 16);
+                    const __mmask16 mk = __mmask16(
+                        nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
+                    const __m512i d = _mm512_maskz_loadu_epi32(mk,
+                                                               db + k - 1);
+                    const __m512i u = _mm512_maskz_loadu_epi32(mk,
+                                                               ub + k - 1);
+                    const __mmask16 cond =
+                        _mm512_cmplt_epi32_mask(d, v_big)
+                        & _mm512_cmple_epi32_mask(_mm512_add_epi32(d, v_ge),
+                                                  _mm512_add_epi32(u, v_goge));
+                    const __m512i out = _mm512_maskz_mov_epi32(cond, v_one);
+                    _mm_mask_storeu_epi8(drow + k, mk,
+                                         _mm512_cvtepi32_epi8(out));
+                }
+#else
                 for (int64_t k = 1; k < width; ++k)
                     drow[k] = (db[k - 1] < BIG32 &&
                                db[k - 1] + gap_ext <= ub[k - 1] + go_ge)
                                   ? 1 : 0;
+#endif
             }
         }
 
@@ -301,12 +447,33 @@ int64_t affine_core(const int8_t* read, int64_t R,
             const int32_t* __restrict__ db = dbuf;
             int32_t* __restrict__ cV = curV;
             int8_t* __restrict__ mr = mrow;
+#ifdef CCS_AVX512
+            const __m512i v_left4 = _mm512_set1_epi32(4);
+            const __m512i v_mleft = _mm512_set1_epi32(int32_t(M_LEFT));
+            for (int64_t k = 0; k < width; k += 16) {
+                const int nn = int(width - k < 16 ? width - k : 16);
+                const __mmask16 mk = __mmask16(
+                    nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
+                const __m512i u = _mm512_maskz_loadu_epi32(mk, ub + k);
+                const __m512i d = _mm512_maskz_loadu_epi32(mk, db + k);
+                _mm512_mask_storeu_epi32(cV + k, mk,
+                                         _mm512_min_epi32(u, d));
+                const __mmask16 dw = _mm512_cmplt_epi32_mask(d, u);
+                const __m128i m8 = _mm_maskz_loadu_epi8(mk, mr + k);
+                const __m512i m32 = _mm512_cvtepi8_epi32(m8);
+                const __m512i dwin = _mm512_or_epi32(
+                    _mm512_and_epi32(m32, v_left4), v_mleft);
+                const __m512i out = _mm512_mask_mov_epi32(m32, dw, dwin);
+                _mm_mask_storeu_epi8(mr + k, mk, _mm512_cvtepi32_epi8(out));
+            }
+#else
             for (int64_t k = 0; k < width; ++k) {
                 const int32_t u = ub[k];
                 const int32_t d_val = db[k];
                 cV[k] = u <= d_val ? u : d_val;
                 mr[k] = (d_val < u) ? int8_t((mr[k] & 4) | M_LEFT) : mr[k];
             }
+#endif
         }
         std::swap(prevV, curV);
         std::swap(prevI, curI);
