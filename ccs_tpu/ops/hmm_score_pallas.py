@@ -100,6 +100,54 @@ def _solve_fwd_T(u, a, axis: int = 0):
     return x + _shift_up(c1 * x, 1, axis)
 
 
+# ---- read-pair (segmented) variants: two subreads stacked on the sublane
+# axis as [2S, LB] (rows 0..S-1 = read A, S..2S-1 = read B). The serial
+# column sweeps are issue-bound on [S, LB] shapes (measured: fwd+bwd are
+# ~52% of the dense kernel wall vs ~12% of its flops), so interleaving two
+# independent recurrence chains per instruction stream roughly halves the
+# sweep wall. The segment-aware shifts zero-fill each segment's boundary
+# rows, making every per-segment value BIT-IDENTICAL to the unpaired
+# kernel's ([S, LB]) computation.
+
+def _shift_down2(v, d: int, rowm):
+    """v[i-d] within each segment (rowm = row index modulo S)."""
+    rolled = pltpu.roll(v, d, axis=0)
+    return jnp.where(rowm < d, 0.0, rolled)
+
+
+def _shift_up2(v, d: int, rowm, S: int):
+    n = v.shape[0]
+    rolled = pltpu.roll(v, n - d, axis=0)
+    return jnp.where(rowm >= S - d, 0.0, rolled)
+
+
+def _solve_fwd2(y, a, rowm):
+    x, c = y, a
+    for d in (1, 2, 4):
+        x = x + c * _shift_down2(x, d, rowm)
+        if d != 4:
+            c = c * _shift_down2(c, d, rowm)
+    return x
+
+
+def _solve_bwd2(y, a, rowm, S: int):
+    x, c = y, a
+    for d in (1, 2, 4):
+        x = x + c * _shift_up2(x, d, rowm, S)
+        if d != 4:
+            c = c * _shift_up2(c, d, rowm, S)
+    return x
+
+
+def _solve_fwd_T2(u, a, rowm, S: int):
+    c1 = a
+    c2 = c1 * _shift_down2(c1, 1, rowm)
+    c4 = c2 * _shift_down2(c2, 2, rowm)
+    x = u + _shift_up2(c4 * u, 4, rowm, S)
+    x = x + _shift_up2(c2 * x, 2, rowm, S)
+    return x + _shift_up2(c1 * x, 1, rowm, S)
+
+
 def _score_kernel(bounds_ref, tpl_ref, tlen_ref, ME_ref, IE_ref, DP_ref,
                   PWM_ref, PWI_ref, reads_ref,
                   rl_ref, lls_ref, ll0_ref,
@@ -681,9 +729,16 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                 ieM_ref[s, x] = ies[x]
             dpM_ref[s] = dps
 
-        irow = jax.lax.broadcasted_iota(jnp.int32, (S, LB), 0)
-        e0 = (irow == 0).astype(jnp.float32)
+        # read-PAIR layout: rows 0..S-1 = read 2c ("A"), S..2S-1 = read 2c+1
+        # ("B"); template-side params are shared, emissions/scales/dots are
+        # per segment. Bit-identical per read to the unpaired formulation.
+        S2 = 2 * S
+        irow2 = jax.lax.broadcasted_iota(jnp.int32, (S2, LB), 0)
+        segB = irow2 >= S
+        rowm = irow2 - jnp.where(segB, S, 0)           # row within segment
+        e0 = (rowm == 0).astype(jnp.float32)
         t0 = tpl[0:1]
+        z2 = jnp.zeros((2, LB), jnp.float32)
 
         def emis(oh_ref, vec4):
             r = oh_ref[0] * vec4[0]
@@ -691,86 +746,115 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                 r = r + oh_ref[x] * vec4[x]
             return r
 
-        def c_body(c, _):
-            rc = reads_ref[c]
-            rl_c = rl_ref[pl.ds(c, 1)]
-            live = (rl_c >= 0).astype(jnp.float32)
+        def seg_scales(w):
+            sA = jnp.max(jnp.where(segB, 0.0, w), axis=0, keepdims=True)
+            sB = jnp.max(jnp.where(segB, w, 0.0), axis=0, keepdims=True)
+            return jnp.maximum(sA, TINY), jnp.maximum(sB, TINY)
+
+        def seg_dots(v):
+            dA = jnp.sum(jnp.where(segB, 0.0, v), axis=0, keepdims=True)
+            dB = jnp.sum(jnp.where(segB, v, 0.0), axis=0, keepdims=True)
+            return dA, dB
+
+        def c_body(c2, _):
+            ca = 2 * c2
+            cb = jnp.minimum(ca + 1, C - 1)
+            rc_a = reads_ref[ca]
+            rc_b = reads_ref[cb]
+            rl_a = rl_ref[pl.ds(ca, 1)]
+            rl_b = jnp.where(ca + 1 < C, rl_ref[pl.ds(cb, 1)], -1)
+            live_a = (rl_a >= 0).astype(jnp.float32)
+            live_b = (rl_b >= 0).astype(jnp.float32)
             zpad = jnp.zeros((S - R - 1, LB), jnp.float32) if S - R - 1 else None
-            ok = (rc >= 0)
-            code = jnp.clip(rc, 0, 15)
-            base = code % 4
-            w = code // 4
-            fm = jnp.zeros((R, LB), jnp.float32)
-            fi = jnp.zeros((R, LB), jnp.float32)
-            for k in range(4):
-                wk = (w == k).astype(jnp.float32)
-                fm = fm + wk * PWM_ref[k:k + 1]
-                fi = fi + wk * PWI_ref[k:k + 1]
+
+            def prep(rc):
+                ok = (rc >= 0)
+                code = jnp.clip(rc, 0, 15)
+                base = code % 4
+                w = code // 4
+                fm = jnp.zeros((R, LB), jnp.float32)
+                fi = jnp.zeros((R, LB), jnp.float32)
+                for k in range(4):
+                    wk = (w == k).astype(jnp.float32)
+                    fm = fm + wk * PWM_ref[k:k + 1]
+                    fi = fi + wk * PWI_ref[k:k + 1]
+                return ok, base, fm, fi
+
+            ok_a, base_a, fm_a, fi_a = prep(rc_a)
+            ok_b, base_b, fm_b, fi_b = prep(rc_b)
 
             def cat(*parts):
                 return jnp.concatenate([p for p in parts if p is not None],
                                        axis=0)
 
             for x in range(4):
-                hx = ((base == x) & ok).astype(jnp.float32)
-                ohdm_ref[x] = cat(z1, hx * fm, zpad)
-                ohdi_ref[x] = cat(z1, hx * fi, zpad)
-                ohum_ref[x] = cat(hx * fm, zpad, z1)
-                ohui_ref[x] = cat(hx * fi, zpad, z1)
+                hxa = ((base_a == x) & ok_a).astype(jnp.float32)
+                hxb = ((base_b == x) & ok_b).astype(jnp.float32)
+                ohdm_ref[x] = cat(z1, hxa * fm_a, zpad, z1, hxb * fm_b, zpad)
+                ohdi_ref[x] = cat(z1, hxa * fi_a, zpad, z1, hxb * fi_b, zpad)
+                ohum_ref[x] = cat(hxa * fm_a, zpad, z1, hxb * fm_b, zpad, z1)
+                ohui_ref[x] = cat(hxa * fi_a, zpad, z1, hxb * fi_b, zpad, z1)
 
             # ---- forward columns; store the pre-solve y_j per step ----
-            lsf_ref[0:1] = z1
+            lsf_ref[0] = z2
 
             def fwd(j, carry):
-                col, ls = carry
+                col, lsA, lsB = carry
                 me4 = mex_ref[:, pl.ds(j, 1)]
                 ie4 = iex_ref[:, pl.ds(j, 1)]
                 dpj = dpx_ref[pl.ds(j, 1)]
                 me_r = emis(ohdm_ref, me4)
                 ie_r = emis(ohdi_ref, ie4)
-                y = dpj * col + me_r * _shift_down(col, 1)
+                y = dpj * col + me_r * _shift_down2(col, 1, rowm)
                 ycols_ref[j] = y                     # the bridge's y_p
-                w = _solve_fwd(y, ie_r)
-                sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
-                col = w / sc
-                ls = ls + jnp.log(sc)
-                lsf_ref[pl.ds(j + 1, 1)] = ls
-                return col, ls
+                w = _solve_fwd2(y, ie_r, rowm)
+                scA, scB = seg_scales(w)
+                col = w / jnp.where(segB, scB, scA)
+                lsA = lsA + jnp.log(scA)
+                lsB = lsB + jnp.log(scB)
+                lsf_ref[j + 1] = jnp.concatenate([lsA, lsB], axis=0)
+                return col, lsA, lsB
 
-            colT, lsT = jax.lax.fori_loop(0, Tm + 1, fwd, (e0, z1))
-            endm = (irow == rl_c).astype(jnp.float32)
-            final = jnp.sum(colT * endm, axis=0, keepdims=True)
-            ll0_ref[0:1] += live * (jnp.log(jnp.maximum(final, TINY)) + lsT)
+            colT, lsTA, lsTB = jax.lax.fori_loop(0, Tm + 1, fwd,
+                                                 (e0, z1, z1))
+            rl_row = jnp.where(segB, jnp.where(rl_b >= 0, rl_b + S, -1),
+                               rl_a)
+            endm = (irow2 == rl_row).astype(jnp.float32)
+            fA, fB = seg_dots(colT * endm)
+            ll0_ref[0:1] += (live_a * (jnp.log(jnp.maximum(fA, TINY)) + lsTA)
+                             + live_b * (jnp.log(jnp.maximum(fB, TINY))
+                                         + lsTB))
 
             # ---- backward sensitivities ----
             betas_ref[Tm] = endm
-            lsb_ref[pl.ds(Tm, 1)] = z1
+            lsb_ref[Tm] = z2
 
             def bwd(it, carry):
-                beta, ls = carry
+                beta, lsA, lsB = carry
                 j = Tm - 1 - it
                 me4 = mex_ref[:, pl.ds(j + 1, 1)]
                 ie4 = iex_ref[:, pl.ds(j, 1)]
                 dpj = dpx_ref[pl.ds(j + 1, 1)]
                 me_rs = emis(ohum_ref, me4)
                 ie_rs = emis(ohui_ref, ie4)
-                u = dpj * beta + me_rs * _shift_up(beta, 1)
-                w = _solve_bwd(u, ie_rs)
-                sc = jnp.maximum(jnp.max(w, axis=0, keepdims=True), TINY)
-                beta = w / sc
-                ls = ls + jnp.log(sc)
+                u = dpj * beta + me_rs * _shift_up2(beta, 1, rowm, S)
+                w = _solve_bwd2(u, ie_rs, rowm, S)
+                scA, scB = seg_scales(w)
+                beta = w / jnp.where(segB, scB, scA)
+                lsA = lsA + jnp.log(scA)
+                lsB = lsB + jnp.log(scB)
                 betas_ref[j] = beta
-                lsb_ref[pl.ds(j, 1)] = ls
-                return beta, ls
+                lsb_ref[j] = jnp.concatenate([lsA, lsB], axis=0)
+                return beta, lsA, lsB
 
-            jax.lax.fori_loop(0, Tm, bwd, (endm, z1))
+            jax.lax.fori_loop(0, Tm, bwd, (endm, z1, z1))
 
             # ---- bridge candidate slots only ----
             def bridge(kk, _):
                 p_row = slot_ref[pl.ds(kk, 1)]             # [1, LB] i32
                 q_row = jnp.minimum(p_row + 2, Tm)
-                zS = jnp.zeros((S, LB), jnp.float32)
-                init = (zS, zS, zS, z1, z1, z1)
+                zS = jnp.zeros((S2, LB), jnp.float32)
+                init = (zS, zS, zS, z2, z2, z2)
 
                 def gth(p, carry):
                     yp, yp1, bq, lsp, lsp1, lsq = carry
@@ -779,15 +863,15 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                     yp = jnp.where(mp, ycols_ref[p], yp)
                     yp1 = jnp.where(mp, ycols_ref[p + 1], yp1)
                     bq = jnp.where(mq, betas_ref[p], bq)
-                    lsp = jnp.where(mp, lsf_ref[pl.ds(p, 1)], lsp)
-                    lsp1 = jnp.where(mp, lsf_ref[pl.ds(p + 1, 1)], lsp1)
-                    lsq = jnp.where(mq, lsb_ref[pl.ds(p, 1)], lsq)
+                    lsp = jnp.where(mp, lsf_ref[p], lsp)
+                    lsp1 = jnp.where(mp, lsf_ref[p + 1], lsp1)
+                    lsq = jnp.where(mq, lsb_ref[p], lsq)
                     return yp, yp1, bq, lsp, lsp1, lsq
 
                 yp, yp1, bq, lsp, lsp1, lsq = jax.lax.fori_loop(
                     0, Tm + 1, gth, init)
 
-                subs, inss = [], []
+                subsA, subsB, inssA, inssB = [], [], [], []
                 for i in range(4):
                     meB = meM_ref[8 + i, :, pl.ds(kk, 1)]  # [4, 1, LB]
                     ieB = ieM_ref[8 + i, :, pl.ds(kk, 1)]
@@ -796,33 +880,50 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                     Bme_r = emis(ohdm_ref, meB)
                     # one backward B-stage shared by the sub/ins pair:
                     # y3 . beta_q == y2 . M_B^T (dpB*beta + shift_up(meB*beta))
-                    uB = dpB * bq + _shift_up(Bme_r * bq, 1)
-                    wB = _solve_fwd_T(uB, Bie_r)
+                    uB = dpB * bq + _shift_up2(Bme_r * bq, 1, rowm, S)
+                    wB = _solve_fwd_T2(uB, Bie_r, rowm, S)
                     if i >= 1:                             # sub to alt_i
                         meA = meM_ref[i - 1, :, pl.ds(kk, 1)]
                         ieA = ieM_ref[i - 1, :, pl.ds(kk, 1)]
                         dpA = dpM_ref[i - 1, pl.ds(kk, 1)]
-                        v1 = _solve_fwd(yp, emis(ohdi_ref, ieA))
-                        y2 = dpA * v1 + emis(ohdm_ref, meA) * _shift_down(v1, 1)
-                        subs.append(jnp.sum(y2 * wB, axis=0, keepdims=True))
+                        v1 = _solve_fwd2(yp, emis(ohdi_ref, ieA), rowm)
+                        y2 = dpA * v1 + emis(ohdm_ref, meA) * \
+                            _shift_down2(v1, 1, rowm)
+                        dA, dB = seg_dots(y2 * wB)
+                        subsA.append(dA)
+                        subsB.append(dB)
                     meC = meM_ref[3 + i, :, pl.ds(kk, 1)]  # ins alt_i
                     ieC = ieM_ref[3 + i, :, pl.ds(kk, 1)]
                     dpC = dpM_ref[3 + i, pl.ds(kk, 1)]
-                    v1c = _solve_fwd(yp1, emis(ohdi_ref, ieC))
-                    y2c = dpC * v1c + emis(ohdm_ref, meC) * _shift_down(v1c, 1)
-                    inss.append(jnp.sum(y2c * wB, axis=0, keepdims=True))
+                    v1c = _solve_fwd2(yp1, emis(ohdi_ref, ieC), rowm)
+                    y2c = dpC * v1c + emis(ohdm_ref, meC) * \
+                        _shift_down2(v1c, 1, rowm)
+                    dA, dB = seg_dots(y2c * wB)
+                    inssA.append(dA)
+                    inssB.append(dB)
                 meD = meM_ref[7, :, pl.ds(kk, 1)]
                 ieD = ieM_ref[7, :, pl.ds(kk, 1)]
                 dpD = dpM_ref[7, pl.ds(kk, 1)]
-                v1d = _solve_fwd(yp, emis(ohdi_ref, ieD))
-                y2d = dpD * v1d + emis(ohdm_ref, meD) * _shift_down(v1d, 1)
-                dot_del = jnp.sum(y2d * bq, axis=0, keepdims=True)
+                v1d = _solve_fwd2(yp, emis(ohdi_ref, ieD), rowm)
+                y2d = dpD * v1d + emis(ohdm_ref, meD) * \
+                    _shift_down2(v1d, 1, rowm)
+                delA, delB = seg_dots(y2d * bq)
 
-                block = jnp.concatenate(subs + [dot_del] + inss, axis=0)
-                ls4a = jnp.broadcast_to(lsp + lsq, (4, LB))
-                ls4b = jnp.broadcast_to(lsp1 + lsq, (4, LB))
-                lsrow = jnp.concatenate([ls4a, ls4b], axis=0)
-                contrib = live * (jnp.log(jnp.maximum(block, TINY)) + lsrow)
+                blockA = jnp.concatenate(subsA + [delA] + inssA, axis=0)
+                blockB = jnp.concatenate(subsB + [delB] + inssB, axis=0)
+                lspA, lspB = lsp[0:1], lsp[1:2]
+                lsp1A, lsp1B = lsp1[0:1], lsp1[1:2]
+                lsqA, lsqB = lsq[0:1], lsq[1:2]
+                lsrowA = jnp.concatenate(
+                    [jnp.broadcast_to(lspA + lsqA, (4, LB)),
+                     jnp.broadcast_to(lsp1A + lsqA, (4, LB))], axis=0)
+                lsrowB = jnp.concatenate(
+                    [jnp.broadcast_to(lspB + lsqB, (4, LB)),
+                     jnp.broadcast_to(lsp1B + lsqB, (4, LB))], axis=0)
+                contrib = (live_a * (jnp.log(jnp.maximum(blockA, TINY))
+                                     + lsrowA)
+                           + live_b * (jnp.log(jnp.maximum(blockB, TINY))
+                                       + lsrowB))
                 llsC_ref[0:8, pl.ds(kk, 1)] = (llsC_ref[0:8, pl.ds(kk, 1)]
                                                + contrib[:, None, :])
                 return 0
@@ -831,8 +932,8 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
 
             # ---- prepends (always scored; selection needs them) ----
             beta1 = betas_ref[1]
-            lsb_1 = lsb_ref[pl.ds(1, 1)]
-            pres = []
+            lsb_1 = lsb_ref[1]                             # [2, LB]
+            presA, presB = [], []
             for x in range(4):
                 kxx = 5 * x
                 me_xx = ME_ref[kxx]
@@ -846,21 +947,26 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                     me_x0 = me_x0 + mb * ME_ref[4 * x + b]
                     ie_x0 = ie_x0 + mb * IE_ref[4 * x + b]
                     dp_x0 = dp_x0 + mb * DP_ref[4 * x + b:4 * x + b + 1]
-                v1 = _solve_fwd(e0, emis(ohdi_ref, ie_xx[:, None]))
+                v1 = _solve_fwd2(e0, emis(ohdi_ref, ie_xx[:, None]), rowm)
                 y2 = dp_xx * v1 + emis(ohdm_ref, me_xx[:, None]) * \
-                    _shift_down(v1, 1)
-                v2 = _solve_fwd(y2, emis(ohdi_ref, ie_x0[:, None]))
+                    _shift_down2(v1, 1, rowm)
+                v2 = _solve_fwd2(y2, emis(ohdi_ref, ie_x0[:, None]), rowm)
                 y3 = dp_x0 * v2 + emis(ohdm_ref, me_x0[:, None]) * \
-                    _shift_down(v2, 1)
-                pres.append(jnp.sum(y3 * beta1, axis=0, keepdims=True))
-            pre_block = jnp.concatenate(pres, axis=0)
-            pre_ls = jnp.broadcast_to(lsb_1, (4, LB))
-            pre_c = live * (jnp.log(jnp.maximum(pre_block, TINY)) + pre_ls)
+                    _shift_down2(v2, 1, rowm)
+                dA, dB = seg_dots(y3 * beta1)
+                presA.append(dA)
+                presB.append(dB)
+            pre_blockA = jnp.concatenate(presA, axis=0)
+            pre_blockB = jnp.concatenate(presB, axis=0)
+            pre_c = (live_a * (jnp.log(jnp.maximum(pre_blockA, TINY))
+                               + jnp.broadcast_to(lsb_1[0:1], (4, LB)))
+                     + live_b * (jnp.log(jnp.maximum(pre_blockB, TINY))
+                                 + jnp.broadcast_to(lsb_1[1:2], (4, LB))))
             lls_ref[0:4, pl.ds(T, 1)] = (lls_ref[0:4, pl.ds(T, 1)]
                                          + pre_c[:, None, :])
             return 0
 
-        jax.lax.fori_loop(0, Cm, c_body, 0)
+        jax.lax.fori_loop(0, (Cm + 1) // 2, c_body, 0)
 
         # ---- epilogue: scatter compacted slot scores to the dense layout
         # (one-hot reduction over KP per position; per block this is
@@ -981,14 +1087,14 @@ def score_sparse_pallas(tpl, tlen, snr_bin, reads, rlens, cand, tables,
             pltpu.VMEM((KP, LB), jnp.int32),               # tplC
             pltpu.VMEM((KP, LB), jnp.int32),               # prevC
             pltpu.VMEM((KP, LB), jnp.int32),               # nxtC
-            pltpu.VMEM((T + 2, S, LB), jnp.float32),       # ycols
-            pltpu.VMEM((T + 2, LB), jnp.float32),          # lsf
-            pltpu.VMEM((T + 1, S, LB), jnp.float32),       # betas
-            pltpu.VMEM((T + 1, LB), jnp.float32),          # lsb
-            pltpu.VMEM((4, S, LB), jnp.float32),           # ohdm
-            pltpu.VMEM((4, S, LB), jnp.float32),           # ohdi
-            pltpu.VMEM((4, S, LB), jnp.float32),           # ohum
-            pltpu.VMEM((4, S, LB), jnp.float32),           # ohui
+            pltpu.VMEM((T + 2, 2 * S, LB), jnp.float32),   # ycols (read pair)
+            pltpu.VMEM((T + 2, 2, LB), jnp.float32),       # lsf (per segment)
+            pltpu.VMEM((T + 1, 2 * S, LB), jnp.float32),   # betas (read pair)
+            pltpu.VMEM((T + 1, 2, LB), jnp.float32),       # lsb (per segment)
+            pltpu.VMEM((4, 2 * S, LB), jnp.float32),       # ohdm
+            pltpu.VMEM((4, 2 * S, LB), jnp.float32),       # ohdi
+            pltpu.VMEM((4, 2 * S, LB), jnp.float32),       # ohum
+            pltpu.VMEM((4, 2 * S, LB), jnp.float32),       # ohui
         ],
         interpret=interpret,
     )(bounds, tpl_t, tlen_t, pri_t, ME_t, IE_t, DP_t, PWM_t, PWI_t,
