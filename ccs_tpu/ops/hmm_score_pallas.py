@@ -597,9 +597,14 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
     [B, T, K]-shaped XLA-side formulation of the same bookkeeping
     (one-hot einsum remap, sort-based slot maps, take_along_axis) measured
     3-12 ms per call at production shapes, more than the bridge work it
-    was saving. The forward/backward column sweeps still cover the whole
-    template (they are 12% of the dense cost and ll0/QV need them exact);
-    only the per-position mutation BRIDGE — 88% of the dense kernel —
+    was saving. Subreads are processed in PAIRS stacked on the sublane
+    axis ([2S, LB]; the _*2 segmented helpers) — the serial column sweeps
+    and the per-slot gather scans are issue-bound, not flop-bound, so two
+    independent recurrence chains per instruction stream halve their trip
+    counts at identical per-read arithmetic (per-segment scales keep each
+    read's values bit-identical to the unpaired form). The sweeps still
+    cover the whole template (ll0/QV need them exact); only the
+    per-position mutation BRIDGE — 88% of the dense kernel's flops —
     runs per candidate slot:
 
     - the fwd loop stores its intermediate y_j (the bridge's y_p is
