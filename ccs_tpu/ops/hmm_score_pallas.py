@@ -873,8 +873,10 @@ def _sparse_kernel(bounds_ref, tpl_ref, tlen_ref, pri_ref,
                     lsq = jnp.where(mq, lsb_ref[p], lsq)
                     return yp, yp1, bq, lsp, lsp1, lsq
 
+                # slot positions are strictly increasing per lane, so the
+                # kk-th candidate sits at p >= kk — start the scan there
                 yp, yp1, bq, lsp, lsp1, lsq = jax.lax.fori_loop(
-                    0, Tm + 1, gth, init)
+                    kk, Tm + 1, gth, init)
 
                 subsA, subsB, inssA, inssB = [], [], [], []
                 for i in range(4):
