@@ -332,22 +332,30 @@ class CcsEngine:
         chunk.sort(key=lambda row: (min(row[0].batch.reads.shape[1], c_pad),
                                     row[2],
                                     int(row[0].batch.tlen[row[1]])))
+        # fill grouped by item with fancy indexing — the per-window Python
+        # pass was ~0.3 s of main-thread time per 400-ZMW e2e run, paid
+        # while the prepare pool is starved for the same cores
+        by_item: dict[int, list[int]] = {}
         for i, (it, w, _nc) in enumerate(chunk):
-            b = it.batch
-            c = b.reads.shape[1]
-            cc = min(c, c_pad)
-            tpl[i] = b.tpl[w]
-            tlen[i] = b.tlen[w]
-            cs[i] = b.core_start[w]
-            ce[i] = b.core_end[w]
-            snr_bin[i] = it.snr_bin
-            reads[i, :cc] = b.reads[w, :cc]
-            rlens[i, :cc] = b.rlens[w, :cc]
+            by_item.setdefault(id(it), []).append(i)
             is_first[i] = (w == 0)
+        for rows_l in by_item.values():
+            rows = np.asarray(rows_l, np.intp)
+            it = chunk[rows_l[0]][0]
+            b = it.batch
+            ws = np.asarray([chunk[i][1] for i in rows_l], np.intp)
+            cc = min(b.reads.shape[1], c_pad)
+            tpl[rows] = b.tpl[ws]
+            tlen[rows] = b.tlen[ws]
+            cs[rows] = b.core_start[ws]
+            ce[rows] = b.core_end[ws]
+            snr_bin[rows] = it.snr_bin
+            reads[rows, :cc] = b.reads[ws, :cc]
+            rlens[rows, :cc] = b.rlens[ws, :cc]
             if exhaustive:
-                priority[i] = 1.0
+                priority[rows] = 1.0
             else:
-                priority[i] = b.priority[w]
+                priority[rows] = b.priority[ws]
 
         step = self._polish_step_dense if exhaustive else self._polish_step
         state, qv, stats = step(
@@ -391,14 +399,19 @@ class CcsEngine:
             self.t_busy += _now - self._busy_t0
         self.polish_stats += s  # [n_converged, total_iters, yield_bases]
 
-        for i, (it, w, _nc) in enumerate(chunk):
-            st = stage[id(it)]
-            st["tpl"][w] = out_tpl[i]
-            st["tlen"][w] = out_tlen[i]
-            st["cs"][w] = out_cs[i]
-            st["ce"][w] = out_ce[i]
-            st["qv"][w] = out_qv[i]
+        by_item: dict[int, list[int]] = {}
+        for i, (it, _w, _nc) in enumerate(chunk):
+            by_item.setdefault(id(it), []).append(i)
+        for key, rows_l in by_item.items():
+            st = stage[key]
+            rows = np.asarray(rows_l, np.intp)
+            ws = np.asarray([chunk[i][1] for i in rows_l], np.intp)
+            st["tpl"][ws] = out_tpl[rows]
+            st["tlen"][ws] = out_tlen[rows]
+            st["cs"][ws] = out_cs[rows]
+            st["ce"][ws] = out_ce[rows]
+            st["qv"][ws] = out_qv[rows]
             if out_qv_rq is not None:
-                st.setdefault("qv_rq", np.zeros_like(st["qv"]))[w] = \
-                    out_qv_rq[i]
-            st["conv"][w] = not nonconv[i]
+                st.setdefault("qv_rq",
+                              np.zeros_like(st["qv"]))[ws] = out_qv_rq[rows]
+            st["conv"][ws] = ~nonconv[rows]
