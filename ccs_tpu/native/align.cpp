@@ -371,73 +371,97 @@ int64_t affine_core(const int8_t* read, int64_t R,
                 }
             }
 #endif
+#ifdef CCS_AVX512
+            // fused B3+B4+C: deletion candidates, D-extension flags, and
+            // the combine in ONE register-resident pass — dval never
+            // round-trips through dbuf. Bit-identical to the split scalar
+            // passes in the fallback branch.
+            {
+                const int32_t* __restrict__ pm = pmbuf;
+                const int32_t* __restrict__ ub = ubuf;
+                int32_t* __restrict__ cV = curV;
+                int8_t* __restrict__ mr = mrow;
+                drow[0] = 0;
+                const __m512i iota = _mm512_setr_epi32(
+                    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+                const __m512i v_ge = _mm512_set1_epi32(gap_ext);
+                const __m512i v_go = _mm512_set1_epi32(gap_open);
+                const __m512i v_goge = _mm512_set1_epi32(go_ge);
+                const __m512i v_big = _mm512_set1_epi32(BIG32);
+                const __m512i v_one = _mm512_set1_epi32(1);
+                const __m512i v_left4 = _mm512_set1_epi32(4);
+                const __m512i v_mleft = _mm512_set1_epi32(int32_t(M_LEFT));
+                const __m512i v_dlo = _mm512_set1_epi32(int32_t(dlo));
+                const __m512i v_dhi = _mm512_set1_epi32(int32_t(kv_hi));
+                for (int64_t k = 0; k < width; k += 16) {
+                    const int nn = int(width - k < 16 ? width - k : 16);
+                    const __mmask16 mk = __mmask16(
+                        nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
+                    const __m512i kk = _mm512_add_epi32(
+                        iota, _mm512_set1_epi32(int32_t(k)));
+                    const __m512i rm = _mm512_maskz_loadu_epi32(mk, pm + k);
+                    const __mmask16 rng =
+                        _mm512_cmpge_epi32_mask(kk, v_dlo)
+                        & _mm512_cmple_epi32_mask(kk, v_dhi);
+                    const __mmask16 okm =
+                        rng & _mm512_cmplt_epi32_mask(rm, v_big) & mk;
+                    const __m512i val = _mm512_add_epi32(
+                        rm, _mm512_add_epi32(
+                                _mm512_mullo_epi32(kk, v_ge), v_go));
+                    const __m512i dval = _mm512_mask_mov_epi32(v_big, okm,
+                                                               val);
+                    const __m512i u = _mm512_maskz_loadu_epi32(mk, ub + k);
+                    _mm512_mask_storeu_epi32(cV + k, mk,
+                                             _mm512_min_epi32(u, dval));
+                    const __mmask16 dw = _mm512_cmplt_epi32_mask(dval, u);
+                    const __m128i m8 = _mm_maskz_loadu_epi8(mk, mr + k);
+                    const __m512i m32 = _mm512_cvtepi8_epi32(m8);
+                    const __m512i dwin = _mm512_or_epi32(
+                        _mm512_and_epi32(m32, v_left4), v_mleft);
+                    const __m512i mout = _mm512_mask_mov_epi32(m32, dw,
+                                                               dwin);
+                    _mm_mask_storeu_epi8(mr + k, mk,
+                                         _mm512_cvtepi32_epi8(mout));
+                    // drow[k+1+lane] = dval<BIG && dval+ge <= u+go_ge
+                    const int nn2 = int(width - 1 - k < nn ? width - 1 - k
+                                                           : nn);
+                    if (nn2 > 0) {
+                        const __mmask16 mk2 = __mmask16(
+                            nn2 == 16 ? 0xFFFFu : ((1u << nn2) - 1u));
+                        const __mmask16 cond =
+                            _mm512_cmplt_epi32_mask(dval, v_big)
+                            & _mm512_cmple_epi32_mask(
+                                  _mm512_add_epi32(dval, v_ge),
+                                  _mm512_add_epi32(u, v_goge));
+                        _mm_mask_storeu_epi8(
+                            drow + k + 1, mk2,
+                            _mm512_cvtepi32_epi8(
+                                _mm512_maskz_mov_epi32(cond, v_one)));
+                    }
+                }
+            }
+        }
+#else
             // B3: deletion candidates (vector); out-of-range stays BIG32
             for (int64_t k = 0; k < width; ++k) dbuf[k] = BIG32;
             if (dlo <= kv_hi) {
                 const int32_t* __restrict__ pm = pmbuf;
                 int32_t* __restrict__ db = dbuf;
-#ifdef CCS_AVX512
-                const __m512i iota = _mm512_setr_epi32(
-                    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
-                const __m512i v_ge = _mm512_set1_epi32(gap_ext);
-                const __m512i v_go = _mm512_set1_epi32(gap_open);
-                const __m512i v_big = _mm512_set1_epi32(BIG32);
-                for (int64_t k = dlo; k <= kv_hi; k += 16) {
-                    const int nn = int(kv_hi - k + 1 < 16 ? kv_hi - k + 1
-                                                          : 16);
-                    const __mmask16 mk = __mmask16(
-                        nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
-                    const __m512i rm = _mm512_maskz_loadu_epi32(mk, pm + k);
-                    const __mmask16 ok =
-                        _mm512_cmplt_epi32_mask(rm, v_big) & mk;
-                    const __m512i kk = _mm512_add_epi32(
-                        iota, _mm512_set1_epi32(int32_t(k)));
-                    const __m512i val = _mm512_add_epi32(
-                        rm, _mm512_add_epi32(
-                                _mm512_mullo_epi32(kk, v_ge), v_go));
-                    _mm512_mask_storeu_epi32(
-                        db + k, mk, _mm512_mask_mov_epi32(v_big, ok, val));
-                }
-#else
                 for (int64_t k = dlo; k <= kv_hi; ++k) {
                     const int32_t rm = pm[k];
                     db[k] = rm < BIG32
                         ? rm + int32_t(k) * gap_ext + gap_open : BIG32;
                 }
-#endif
             }
             // B4: D-extension flags for the traceback (vector)
             {
                 const int32_t* __restrict__ db = dbuf;
                 const int32_t* __restrict__ ub = ubuf;
                 drow[0] = 0;
-#ifdef CCS_AVX512
-                const __m512i v_big = _mm512_set1_epi32(BIG32);
-                const __m512i v_ge = _mm512_set1_epi32(gap_ext);
-                const __m512i v_goge = _mm512_set1_epi32(go_ge);
-                const __m512i v_one = _mm512_set1_epi32(1);
-                for (int64_t k = 1; k < width; k += 16) {
-                    const int nn = int(width - k < 16 ? width - k : 16);
-                    const __mmask16 mk = __mmask16(
-                        nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
-                    const __m512i d = _mm512_maskz_loadu_epi32(mk,
-                                                               db + k - 1);
-                    const __m512i u = _mm512_maskz_loadu_epi32(mk,
-                                                               ub + k - 1);
-                    const __mmask16 cond =
-                        _mm512_cmplt_epi32_mask(d, v_big)
-                        & _mm512_cmple_epi32_mask(_mm512_add_epi32(d, v_ge),
-                                                  _mm512_add_epi32(u, v_goge));
-                    const __m512i out = _mm512_maskz_mov_epi32(cond, v_one);
-                    _mm_mask_storeu_epi8(drow + k, mk,
-                                         _mm512_cvtepi32_epi8(out));
-                }
-#else
                 for (int64_t k = 1; k < width; ++k)
                     drow[k] = (db[k - 1] < BIG32 &&
                                db[k - 1] + gap_ext <= ub[k - 1] + go_ge)
                                   ? 1 : 0;
-#endif
             }
         }
 
@@ -447,34 +471,14 @@ int64_t affine_core(const int8_t* read, int64_t R,
             const int32_t* __restrict__ db = dbuf;
             int32_t* __restrict__ cV = curV;
             int8_t* __restrict__ mr = mrow;
-#ifdef CCS_AVX512
-            const __m512i v_left4 = _mm512_set1_epi32(4);
-            const __m512i v_mleft = _mm512_set1_epi32(int32_t(M_LEFT));
-            for (int64_t k = 0; k < width; k += 16) {
-                const int nn = int(width - k < 16 ? width - k : 16);
-                const __mmask16 mk = __mmask16(
-                    nn == 16 ? 0xFFFFu : ((1u << nn) - 1u));
-                const __m512i u = _mm512_maskz_loadu_epi32(mk, ub + k);
-                const __m512i d = _mm512_maskz_loadu_epi32(mk, db + k);
-                _mm512_mask_storeu_epi32(cV + k, mk,
-                                         _mm512_min_epi32(u, d));
-                const __mmask16 dw = _mm512_cmplt_epi32_mask(d, u);
-                const __m128i m8 = _mm_maskz_loadu_epi8(mk, mr + k);
-                const __m512i m32 = _mm512_cvtepi8_epi32(m8);
-                const __m512i dwin = _mm512_or_epi32(
-                    _mm512_and_epi32(m32, v_left4), v_mleft);
-                const __m512i out = _mm512_mask_mov_epi32(m32, dw, dwin);
-                _mm_mask_storeu_epi8(mr + k, mk, _mm512_cvtepi32_epi8(out));
-            }
-#else
             for (int64_t k = 0; k < width; ++k) {
                 const int32_t u = ub[k];
                 const int32_t d_val = db[k];
                 cV[k] = u <= d_val ? u : d_val;
                 mr[k] = (d_val < u) ? int8_t((mr[k] & 4) | M_LEFT) : mr[k];
             }
-#endif
         }
+#endif
         std::swap(prevV, curV);
         std::swap(prevI, curI);
     }
