@@ -249,3 +249,35 @@ def test_tail_compaction_matches_plain_loop():
                                np.asarray(st_c.ll)[live], atol=1e-3)
     np.testing.assert_allclose(np.asarray(qv_w)[live], np.asarray(qv_c)[live],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_sparse_pallas_kernel_interpret_matches_xla():
+    """CPU (interpret-mode) coverage of the candidate-sparse READ-PAIRED
+    kernel: bridged slots and ll0 must match the XLA oracle; unbridged
+    slots must come back exactly 0 (the caller masks them invalid)."""
+    rng = np.random.default_rng(7)
+    (args, _) = _simulate_batch(rng, 5, 3, 18, 24, tl_range=(3, 15))
+    tpl, tlen, snr, reads, rlens = args
+    from ccs_tpu.ops.hmm_score_pallas import score_sparse_pallas
+    T = tpl.shape[1]
+    cand = rng.random(tpl.shape) < 0.5
+    lls_x, ll0_x = score_all_xla(tpl, tlen, snr, reads, rlens, TABLES)
+    lls_s, ll0_s = score_sparse_pallas(tpl, tlen, snr, reads, rlens,
+                                       jnp.asarray(cand), TABLES,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(ll0_x), np.asarray(ll0_s),
+                               atol=2e-3)
+    valid = np.asarray(mutation_valid_new(tpl, tlen))
+    cand_eff = cand & (np.arange(T)[None, :] < np.asarray(tlen)[:, None])
+    bridged = np.zeros_like(valid)
+    for b in range(tpl.shape[0]):
+        for p in range(T):
+            if cand_eff[b, p]:
+                bridged[b, 9 * p:9 * p + 9] = True
+        bridged[b, 9 * T:] = True          # prepends always scored
+    lls_s_np = np.asarray(lls_s)
+    d = np.abs(np.where(valid & bridged,
+                        np.asarray(lls_x) - lls_s_np, 0.0))
+    assert d.max() < 5e-3
+    # unbridged regular slots return exactly 0
+    assert np.all(lls_s_np[:, :9 * T][~bridged[:, :9 * T]] == 0.0)
