@@ -277,20 +277,55 @@ class CcsEngine:
         # dispatch pipelining: jax dispatch is async, so submitting chunk
         # k+1 before materializing chunk k overlaps device execution (and
         # the dispatch round-trip when the chip is remote) with host
-        # scatter. Depth 3 bounds device-resident output memory.
-        from collections import deque
-        pending: deque = deque()
-        for (cb, exhaustive), rows in sorted(by_cb.items()):
-            pos = 0
-            while pos < len(rows):
-                take = min(len(rows) - pos, self.w_buckets[-1])
-                chunk = rows[pos:pos + take]
-                pos += take
-                pending.append(self._submit_chunk(chunk, cb, exhaustive))
-                if len(pending) >= 3:
-                    self._collect_chunk(pending.popleft(), stage)
-        while pending:
-            self._collect_chunk(pending.popleft(), stage)
+        # scatter. A dedicated collector thread drains results — the pull
+        # is a blocking round trip (~45 ms/chunk over a remote-chip link,
+        # ~1.1 s per 400-ZMW run) that would otherwise serialize behind
+        # every submit on this thread. Queue depth 3 bounds
+        # device-resident output memory exactly like the old deque.
+        import queue as _queue
+        import threading as _threading
+        pend_q: _queue.Queue = _queue.Queue(maxsize=3)
+        col_err: list[BaseException] = []
+        _DONE = object()
+
+        def _collector():
+            while True:
+                h = pend_q.get()
+                if h is _DONE:
+                    return
+                try:
+                    self._collect_chunk(h, stage)
+                except BaseException as exc:  # noqa: BLE001
+                    col_err.append(exc)
+                    return
+
+        col_t = _threading.Thread(target=_collector, daemon=True,
+                                  name="ccs-collect")
+        col_t.start()
+        try:
+            for (cb, exhaustive), rows in sorted(by_cb.items()):
+                pos = 0
+                while pos < len(rows) and not col_err:
+                    take = min(len(rows) - pos, self.w_buckets[-1])
+                    chunk = rows[pos:pos + take]
+                    pos += take
+                    pend_q.put(self._submit_chunk(chunk, cb, exhaustive))
+        finally:
+            # deliver the sentinel even if the collector died with the
+            # queue full (drop queued work then — the run is failing)
+            while True:
+                try:
+                    pend_q.put(_DONE, timeout=0.2)
+                    break
+                except _queue.Full:
+                    if col_err:
+                        try:
+                            pend_q.get_nowait()
+                        except _queue.Empty:
+                            pass
+            col_t.join()
+        if col_err:
+            raise col_err[0]
 
         import time as _time
         _t0 = _time.monotonic()
@@ -361,9 +396,10 @@ class CcsEngine:
         state, qv, stats = step(
             tpl, tlen, cs, ce, snr_bin, reads, rlens, is_first, priority)
         import time as _time
-        if self._outstanding == 0:
-            self._busy_t0 = _time.monotonic()
-        self._outstanding += 1
+        with self._t_lock:
+            if self._outstanding == 0:
+                self._busy_t0 = _time.monotonic()
+            self._outstanding += 1
         qv_rq = None
         if self._dc_refine is not None:
             # Revio-shaped learned refinement of low-QV windows
@@ -393,11 +429,12 @@ class CcsEngine:
         if getattr(self._polish_step, "stats_sharded", False):
             s = np.asarray(s).reshape(-1, 3).sum(axis=0)
         _now = _time.monotonic()
-        self.t_device += _now - _t0
-        self._outstanding -= 1
-        if self._outstanding == 0:
-            self.t_busy += _now - self._busy_t0
-        self.polish_stats += s  # [n_converged, total_iters, yield_bases]
+        with self._t_lock:
+            self.t_device += _now - _t0
+            self._outstanding -= 1
+            if self._outstanding == 0:
+                self.t_busy += _now - self._busy_t0
+            self.polish_stats += s  # [n_converged, total_iters, yield_bases]
 
         by_item: dict[int, list[int]] = {}
         for i, (it, _w, _nc) in enumerate(chunk):
